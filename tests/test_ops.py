@@ -1,0 +1,71 @@
+"""Parity tests for the exactness-critical ops against torch CPU."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from lednet_tpu.ops import (adaptive_avg_pool2d, avg_pool2d, max_pool2d,
+                            resize_bilinear, resize_nearest)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def to_nhwc(t_nchw):
+    return t_nchw.numpy().transpose(0, 2, 3, 1)
+
+
+@pytest.mark.parametrize('in_size,out_size', [
+    ((16, 32), (64, 128)),   # upsample x4 (LED logit pyramid)
+    ((64, 128), (16, 32)),   # downsample (no antialias in torch)
+    ((17, 31), (64, 128)),   # odd sizes (math.ceil sizing path)
+    ((64, 128), (63, 127)),  # near-identity shrink
+    ((8, 8), (8, 8)),        # identity
+])
+@pytest.mark.parametrize('align_corners', [False, True])
+def test_resize_bilinear_matches_torch(rng, in_size, out_size, align_corners):
+    x = rng.standard_normal((2, *in_size, 5), dtype=np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), out_size, align_corners))
+    ref = to_nhwc(F.interpolate(nchw(x), size=out_size, mode='bilinear',
+                                align_corners=align_corners))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize('in_size,out_size', [
+    ((16, 32), (64, 128)),
+    ((64, 128), (16, 32)),
+    ((17, 31), (64, 128)),
+])
+def test_resize_nearest_matches_torch(rng, in_size, out_size):
+    x = rng.standard_normal((2, *in_size, 3), dtype=np.float32)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), out_size))
+    ref = to_nhwc(F.interpolate(nchw(x), size=out_size, mode='nearest'))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize('k,s,p', [(5, 2, 2), (9, 4, 4), (17, 8, 8), (3, 2, 1), (3, 1, 1)])
+def test_avg_pool_matches_torch(rng, k, s, p):
+    # DAPPM scales use AvgPool2d(5,2,2)/(9,4,4)/(17,8,8) w/ count_include_pad
+    x = rng.standard_normal((2, 32, 64, 4), dtype=np.float32)
+    ours = np.asarray(avg_pool2d(jnp.asarray(x), k, s, p))
+    ref = to_nhwc(F.avg_pool2d(nchw(x), k, stride=s, padding=p))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 32, 32, 4), dtype=np.float32)
+    ours = np.asarray(max_pool2d(jnp.asarray(x), 3, 2, 1))
+    ref = to_nhwc(F.max_pool2d(nchw(x), 3, stride=2, padding=1))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize('out_size', [(1, 1), (4, 4), (8, 8), (16, 16), (3, 5)])
+def test_adaptive_avg_pool_matches_torch(rng, out_size):
+    # Muti_AFF context paths use AdaptiveAvgPool2d((4,4)/(8,8)/(16,16))
+    x = rng.standard_normal((2, 33, 57, 4), dtype=np.float32)
+    ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), out_size))
+    ref = to_nhwc(F.adaptive_avg_pool2d(nchw(x), out_size))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
