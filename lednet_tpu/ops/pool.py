@@ -85,6 +85,8 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size: _Size) -> jnp.ndarray:
     mh = jnp.asarray(pool_matrix(oh, in_h))
     mw = jnp.asarray(pool_matrix(ow, in_w))
     xf = x.astype(jnp.float32)
-    out = jnp.einsum('oh,...hwc->...owc', mh, xf)
-    out = jnp.einsum('pw,...owc->...opc', mw, out)
+    # precision='highest' keeps the averaging exact on the MXU (default f32
+    # matmul precision on TPU is bf16 passes, which breaks torch parity).
+    out = jnp.einsum('oh,...hwc->...owc', mh, xf, precision='highest')
+    out = jnp.einsum('pw,...owc->...opc', mw, out, precision='highest')
     return out.astype(x.dtype)

@@ -1,11 +1,19 @@
 """Test configuration: force an 8-device virtual CPU platform so pjit/sharding
-paths are exercised without TPU hardware (SURVEY.md §4 'implication')."""
+paths are exercised without TPU hardware (SURVEY.md §4 'implication').
+
+Note: the env var alone is not enough under the axon TPU plugin — the explicit
+``jax.config.update('jax_platforms', 'cpu')`` is what actually wins.
+"""
 import os
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 import pytest
@@ -14,3 +22,8 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope='session')
+def devices():
+    return jax.devices()
