@@ -1,0 +1,134 @@
+"""LED-Net backbone — reconstructed TPU-native implementation.
+
+The reference withholds this file (``mmseg/models/backbones/lednet.py:1-8`` is
+a placeholder), so the architecture is reassembled from the public evidence
+(SURVEY.md §2.1):
+
+- ctor contract from ``configs/LED_Net/LEDNet_80k_cityscapes-1024x1024.py:24-30``
+  (``LEDNet(in_channels=3, channels=32, ppm_channels=128, norm_cfg,
+  align_corners)``),
+- output contract from ``mmseg/models/decode_heads/led_head.py:66-81``:
+  training consumes ``(c3_feat[2c @1/8], c5_feat[4c @1/8], x1[c @1/2],
+  x2[c @1/4])``, eval consumes ``(c5_feat, x1, x2)``,
+- the dual-branch skeleton and SEAM/Muti_AFF/GETB placement from the
+  standalone prototype ``tools/speed/ddrnet_speed.py:40-406`` (class DDRNet1),
+- SESP/CESPB stage blocks per the supplementary PDF §7 (which also reports the
+  final model replaced DAPPM with SESP+CESPB+GETB context pooling — we default
+  to that and keep DAPPM available via ``context_pool='dappm'``).
+
+Differences from torch conventions: NHWC layout; the backbone always returns
+the full 4-tuple and the head selects what it needs (no module-level
+training flag).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lednet_tpu.models.aff import MutiAFF
+from lednet_tpu.models.espnet import CESPB, SESP
+from lednet_tpu.models.getb import GETBBlock
+from lednet_tpu.models.layers import BasicBlock, ConvModule
+from lednet_tpu.models.ppm import DAPPM
+from lednet_tpu.models.seam import SEAM
+from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.registry import MODELS
+
+
+@MODELS.register_module()
+class LEDNet(nn.Module):
+    in_channels: int = 3
+    channels: int = 32
+    ppm_channels: int = 128
+    align_corners: bool = False
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+    context_pool: str = 'sesp'  # 'sesp' (PDF §7 final model) or 'dappm'
+    num_heads: int = 8
+    window_size: int = 8
+    init_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        out_size = (-(-x.shape[-3] // 8), -(-x.shape[-2] // 8))  # ceil, fork's sizing
+
+        # ---- stem (to 1/8) with the x1/x2 taps ---------------------------
+        x1 = ConvModule(self.in_channels, c, 3, stride=2, padding=1,
+                        norm_cfg=norm_cfg, act_cfg=act_cfg,
+                        name='stem_conv1')(x, train=train)          # c @ 1/2
+        x2 = ConvModule(c, c, 3, stride=2, padding=1, norm_cfg=norm_cfg,
+                        act_cfg=act_cfg, name='stem_conv2')(x1, train=train)  # c @ 1/4
+        h = BasicBlock(c, c, norm_cfg=norm_cfg, name='stem_block1')(x2, train=train)
+        h = BasicBlock(c, c, norm_cfg=norm_cfg, act_out=False,
+                       name='stem_block2')(h, train=train)
+        h = nn.relu(h)
+        h = BasicBlock(c, 2 * c, stride=2, downsample=True, norm_cfg=norm_cfg,
+                       name='stem_block3')(h, train=train)
+        h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg, act_out=False,
+                       name='stem_block4')(h, train=train)
+        stem = nn.relu(h)                                           # 2c @ 1/8
+
+        # ---- SEAM edge-attention map from the stem feature ---------------
+        edge = SEAM(2 * c, name='seam')(stem, train=train)
+
+        # ---- stage 3: first dual-branch stage + Muti_AFF fusion ----------
+        x_c = CESPB(2 * c, 4 * c, stride=2, num_blocks=2, spatial=False,
+                    name='context1')(stem, train=train)             # 4c @ 1/16
+        x_c = GETBBlock(4 * c, self.num_heads, window_size=self.window_size,
+                        name='gltb1')(x_c, train=train)
+        x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
+                    name='spatial1')(stem, train=train)             # 2c @ 1/8
+        comp = ConvModule(4 * c, 2 * c, 1, norm_cfg=norm_cfg, act_cfg=None,
+                          name='compression_aff')(nn.relu(x_c), train=train)
+        x_c = x_c + ConvModule(2 * c, 4 * c, 3, stride=2, padding=1,
+                               norm_cfg=norm_cfg, act_cfg=None,
+                               name='down_1')(nn.relu(x_s), train=train)
+        comp = resize_bilinear(comp, out_size, self.align_corners)
+        x_s = MutiAFF(2 * c, name='aff1')(x_s, comp, train=train)
+        c3_feat = x_s                                               # 2c @ 1/8
+
+        # ---- stage 4: second dual-branch stage + SEAM injection ----------
+        x_c = CESPB(4 * c, 8 * c, stride=2, num_blocks=2, spatial=False,
+                    name='context2')(nn.relu(x_c), train=train)     # 8c @ 1/32
+        x_c = GETBBlock(8 * c, self.num_heads, window_size=self.window_size,
+                        name='gltb2')(x_c, train=train)
+        x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
+                    name='spatial2')(nn.relu(x_s), train=train)
+        comp = ConvModule(8 * c, 2 * c, 1, norm_cfg=norm_cfg, act_cfg=None,
+                          name='compression_2')(nn.relu(x_c), train=train)
+        down = ConvModule(2 * c, 4 * c, 3, stride=2, padding=1,
+                          norm_cfg=norm_cfg, act_cfg=act_cfg,
+                          name='down_2a')(nn.relu(x_s), train=train)
+        down = ConvModule(4 * c, 8 * c, 3, stride=2, padding=1,
+                          norm_cfg=norm_cfg, act_cfg=None,
+                          name='down_2b')(down, train=train)
+        x_c = x_c + down
+        comp = resize_bilinear(comp, out_size, self.align_corners)
+        x_s = MutiAFF(2 * c, name='aff2')(x_s, comp, train=train)
+        x_s = edge * x_s + x_s                                      # SEAM inject
+
+        # ---- stage 5: final stage + context pooling ----------------------
+        x_s = CESPB(2 * c, 4 * c, num_blocks=1, spatial=True,
+                    name='spatial3')(nn.relu(x_s), train=train)     # 4c @ 1/8
+        x_c = CESPB(8 * c, 16 * c, stride=2, num_blocks=1, spatial=False,
+                    name='context3')(nn.relu(x_c), train=train)     # 16c @ 1/64
+        if self.context_pool == 'dappm':
+            x_c = DAPPM(16 * c, self.ppm_channels, 4 * c, num_scales=5,
+                        name='spp')(x_c, train=train)
+        else:
+            x_c = SESP(16 * c, self.ppm_channels, spatial=False,
+                       name='spp')(x_c, train=train)
+            if self.ppm_channels != 4 * c:
+                x_c = ConvModule(self.ppm_channels, 4 * c, 1, norm_cfg=norm_cfg,
+                                 act_cfg=None, name='spp_out')(x_c, train=train)
+        x_c = GETBBlock(4 * c, self.num_heads, window_size=self.window_size,
+                        name='gltb3')(x_c, train=train)
+        x_c = resize_bilinear(x_c, out_size, self.align_corners)
+        c5_feat = x_s + x_c                                         # 4c @ 1/8
+
+        return c3_feat, c5_feat, x1, x2

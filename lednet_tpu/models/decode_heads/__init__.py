@@ -1,0 +1,4 @@
+from lednet_tpu.models.decode_heads.fcn_head import FCNHead
+from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
+
+__all__ = ['FCNHead', 'DDRHead', 'LEDHead']

@@ -1,0 +1,206 @@
+"""LED-Net decode head (and the fork's identical DDRHead variant).
+
+Behavioral spec from the reference ``mmseg/models/decode_heads/led_head.py``:
+
+- ``head``: pre-act 3x3 ConvModule (in->ch) + BN + ReLU, then ``cls_seg``
+  (dropout + 1x1) on the context feature (``led_head.py:44,62-82``),
+- ``aux_head`` + ``aux_cls_seg`` on the spatial feature (in//2 channels),
+- ``head_x1``/``head_x2``: same base-head stack mapping the 32-ch stem taps
+  straight to 2-class logits at 1/2 and 1/4 resolution,
+- training loss (``loss_by_feat``, ``led_head.py:101-146``): progressive
+  additive refinement — context logit upsampled to 1/4 (+head_x2), to 1/2
+  (+head_x1), then to full; same chain for the spatial logit;
+  ``loss_context`` = losses[0] (w=1.0), ``loss_spatial`` = losses[1] (w=0.4),
+  ``acc_seg`` on the refined context logit,
+- predict (fork-rewritten ``decode_head.py:362-379``): same pyramid on
+  (x_c, head_x1, head_x2); output size = ceil(2 * head_x1 spatial size).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lednet_tpu.models.decode_heads.base import (ClsSeg, build_losses,
+                                                 resolve_out_channels)
+from lednet_tpu.models.layers import ConvModule, Norm2d, build_activation
+from lednet_tpu.models.losses.cross_entropy import accuracy
+from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.registry import MODELS
+
+
+class _BaseHead(nn.Module):
+    """BN -> ReLU -> 3x3 conv -> BN -> ReLU (reference ``_make_base_head``)."""
+    in_channels: int
+    channels: int
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = ConvModule(self.in_channels, self.channels, 3, padding=1,
+                       norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       order=('norm', 'act', 'conv'), name='conv')(x, train=train)
+        x = Norm2d(norm_cfg, name='norm')(x, train=train)
+        return build_activation(act_cfg, self.channels)(x)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@MODELS.register_module()
+class LEDHead(nn.Module):
+    in_channels: int
+    channels: int
+    num_classes: int
+    dropout_ratio: float = 0.1
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+    align_corners: bool = False
+    ignore_index: int = 255
+    out_channels: Optional[int] = None
+    threshold: Optional[float] = None
+    loss_decode: Optional[Sequence[Dict]] = None
+    in_index: int = -1
+    init_cfg: Optional[Dict] = None
+
+    @property
+    def num_out_channels(self) -> int:
+        return resolve_out_channels(self.num_classes, self.out_channels,
+                                    self.threshold)[0]
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        """inputs = (c3_feat, c5_feat, x1, x2); eval may pass (c5, x1, x2)."""
+        out_ch = self.num_out_channels
+        if len(inputs) == 4:
+            c3_feat, c5_feat, x1, x2 = inputs
+        else:
+            c5_feat, x1, x2 = inputs
+            c3_feat = None
+
+        x_c = _BaseHead(self.in_channels, self.channels, self.norm_cfg,
+                        self.act_cfg, name='head')(c5_feat, train=train)
+        x_c = ClsSeg(self.channels, out_ch, self.dropout_ratio,
+                     name='cls')(x_c, train=train)
+        head_x1 = _BaseHead(x1.shape[-1], out_ch, self.norm_cfg, self.act_cfg,
+                            name='head_x1')(x1, train=train)
+        head_x2 = _BaseHead(x2.shape[-1], out_ch, self.norm_cfg, self.act_cfg,
+                            name='head_x2')(x2, train=train)
+
+        if with_aux and c3_feat is not None:
+            x_s = _BaseHead(self.in_channels // 2, self.channels, self.norm_cfg,
+                            self.act_cfg, name='aux_head')(c3_feat, train=train)
+            x_s = nn.Conv(out_ch, (1, 1), use_bias=True,
+                          name='aux_cls_seg')(x_s)
+            return x_c, x_s, head_x1, head_x2
+        return x_c, head_x1, head_x2
+
+    # ---- pure loss/predict functions (no params) -------------------------
+    def _refine(self, logit, head_x1, head_x2, size):
+        """Progressive pyramid: +x2 at 1/4, +x1 at 1/2, upsample to size."""
+        logit = head_x2 + resize_bilinear(
+            logit, (_ceil_div(size[0], 4), _ceil_div(size[1], 4)),
+            self.align_corners)
+        logit = head_x1 + resize_bilinear(
+            logit, (_ceil_div(size[0], 2), _ceil_div(size[1], 2)),
+            self.align_corners)
+        return resize_bilinear(logit, size, self.align_corners)
+
+    def loss_by_feat(self, seg_logits: Tuple, seg_label) -> Dict:
+        context_logit, spatial_logit, head_x1, head_x2 = seg_logits
+        size = seg_label.shape[-2:]
+        losses = build_losses(self.loss_decode)
+        # training uses exact // sizes (labels are crops of even size)
+        quarter = (size[0] // 4, size[1] // 4)
+        half = (size[0] // 2, size[1] // 2)
+        ctx = head_x2 + resize_bilinear(context_logit, quarter, self.align_corners)
+        ctx = head_x1 + resize_bilinear(ctx, half, self.align_corners)
+        ctx = resize_bilinear(ctx, size, self.align_corners)
+        spa = head_x2 + resize_bilinear(spatial_logit, quarter, self.align_corners)
+        spa = head_x1 + resize_bilinear(spa, half, self.align_corners)
+        spa = resize_bilinear(spa, size, self.align_corners)
+        return {
+            'loss_context': losses[0](ctx, seg_label, ignore_index=self.ignore_index),
+            'loss_spatial': losses[1](spa, seg_label, ignore_index=self.ignore_index),
+            'acc_seg': accuracy(ctx, seg_label, self.ignore_index),
+        }
+
+    def predict_by_feat(self, seg_logits: Tuple, size=None):
+        x_c, head_x1, head_x2 = seg_logits
+        if size is None:
+            # fork sizing: output = 2 * head_x1 spatial size
+            size = (head_x1.shape[-3] * 2, head_x1.shape[-2] * 2)
+        return self._refine(x_c, head_x1, head_x2, size)
+
+
+@MODELS.register_module()
+class DDRHead(nn.Module):
+    """DDRNet decode head with upstream-mmseg semantics.
+
+    The fork rewrote DDRHead into a copy of LEDHead (4-input), which breaks
+    the in-tree DDRNet backbone (2 outputs) — see reference ``ddr_head.py``
+    vs ``ddrnet.py:224``. We restore the upstream contract so the
+    ``configs/ddrnet`` configs actually run: train consumes
+    ``(temp_context, final)``; eval uses only ``final``. Losses: context
+    (w=1.0 cfg[0]) on the main logit, spatial (cfg[1]) on the aux logit.
+    """
+    in_channels: int
+    channels: int
+    num_classes: int
+    dropout_ratio: float = 0.1
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+    align_corners: bool = False
+    ignore_index: int = 255
+    out_channels: Optional[int] = None
+    threshold: Optional[float] = None
+    loss_decode: Optional[Sequence[Dict]] = None
+    in_index: int = -1
+    init_cfg: Optional[Dict] = None
+
+    @property
+    def num_out_channels(self) -> int:
+        return resolve_out_channels(self.num_classes, self.out_channels,
+                                    self.threshold)[0]
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        out_ch = self.num_out_channels
+        if isinstance(inputs, (tuple, list)):
+            c3_feat, c5_feat = inputs[0], inputs[1]
+        else:
+            c3_feat, c5_feat = None, inputs
+        x_c = _BaseHead(self.in_channels, self.channels, self.norm_cfg,
+                        self.act_cfg, name='head')(c5_feat, train=train)
+        x_c = ClsSeg(self.channels, out_ch, self.dropout_ratio,
+                     name='cls')(x_c, train=train)
+        if with_aux and c3_feat is not None:
+            x_s = _BaseHead(self.in_channels // 2, self.channels, self.norm_cfg,
+                            self.act_cfg, name='aux_head')(c3_feat, train=train)
+            x_s = nn.Conv(out_ch, (1, 1), use_bias=True,
+                          name='aux_cls_seg')(x_s)
+            return x_c, x_s
+        return x_c
+
+    def loss_by_feat(self, seg_logits, seg_label) -> Dict:
+        context_logit, spatial_logit = seg_logits
+        size = seg_label.shape[-2:]
+        losses = build_losses(self.loss_decode)
+        ctx = resize_bilinear(context_logit, size, self.align_corners)
+        spa = resize_bilinear(spatial_logit, size, self.align_corners)
+        return {
+            'loss_context': losses[0](ctx, seg_label, ignore_index=self.ignore_index),
+            'loss_spatial': losses[1](spa, seg_label, ignore_index=self.ignore_index),
+            'acc_seg': accuracy(ctx, seg_label, self.ignore_index),
+        }
+
+    def predict_by_feat(self, seg_logits, size=None):
+        logit = seg_logits[0] if isinstance(seg_logits, (tuple, list)) else seg_logits
+        if size is None:
+            size = (logit.shape[-3] * 8, logit.shape[-2] * 8)
+        return resize_bilinear(logit, size, self.align_corners)

@@ -1,0 +1,199 @@
+"""ESPNet-family blocks: SESP, EESP, down-samplers, and CESPB stages.
+
+Behavioral spec from the reference ``mmseg/models/nn_layers/eesp.py:15-265``
+and ``nn_layers/espnet_utils.py`` (CBR/CB/BR/CDilated bricks) plus the
+supplementary PDF's module descriptions (SESP dual-branch dilated pyramid:
+spatial dilations [1,1,1,1], context dilations [1,2,3,4]; CESPB = cascaded
+SESP stage blocks):
+
+- SESP: REDUCE (grouped 1x1 to nOut/k) -> SPLIT/TRANSFORM (k depthwise 3x3
+  convs, dilation 1 for the spatial branch, 1..k for the context branch) with
+  hierarchical feature fusion (branch_i += branch_{i-1}) -> optional second
+  dilated depthwise stage (SESPV2, dilation d+1) -> MERGE (BN+PReLU on concat,
+  grouped 1x1 expand) -> residual + per-channel PReLU.
+- stride-2 context SESP adds an avg-pooled input shortcut
+  (``eesp.py:110-111``).
+- DownSampler: concat[avgpool(input), EESP(input, stride 2)] -> PReLU
+  (``eesp.py:200-264``; we keep the channels-up concat path used by LED-Net).
+- CESPB: a cascaded stage = one (optionally down-sampling) SESP/DownSampler
+  followed by stride-1 SESP refinements.
+
+Depthwise dilated convs are expressed as ``feature_group_count=channels``
+convolutions, which XLA lowers to VPU-friendly elementwise windows.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lednet_tpu.models.layers import ConvModule, Norm2d, PReLU, kaiming_init
+from lednet_tpu.ops import avg_pool2d
+
+
+class _CBR(nn.Module):
+    """conv + BN + PReLU (ESPNet's CBR brick)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel_size // 2) * self.dilation
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups, use_bias=False,
+                    kernel_init=kaiming_init, name='conv')(x)
+        x = Norm2d(dict(type='BN'), name='norm')(x, train=train)
+        return PReLU(self.out_channels, name='act')(x)
+
+
+class _CB(nn.Module):
+    """conv + BN (no activation)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel_size // 2
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    feature_group_count=self.groups, use_bias=False,
+                    kernel_init=kaiming_init, name='conv')(x)
+        return Norm2d(dict(type='BN'), name='norm')(x, train=train)
+
+
+def _dilation_schedule(k: int, spatial: bool, r_lim: int, spaspp: bool) -> Tuple[int, ...]:
+    """Per-branch dilation rates (reference ``eesp.py:41-59``)."""
+    if spaspp:
+        # large-dilation SPASPP variant: kernel sizes 17/19/21/23
+        table = {17: 6, 19: 12, 21: 18, 23: 24}
+        return tuple(table[ks] for ks in (17, 19, 21, 23))
+    if spatial:
+        return tuple(1 for _ in range(k))
+    rates = []
+    for i in range(k):
+        ksize = 3 + 2 * i
+        ksize = ksize if ksize <= r_lim else 3
+        rates.append((ksize - 1) // 2)
+    return tuple(sorted(rates))
+
+
+class SESP(nn.Module):
+    """SESP block (LED-Net's core primitive)."""
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    k: int = 4
+    r_lim: int = 7
+    down_method: str = 'esp'
+    spatial: bool = True
+    spaspp: bool = False
+    sespv2: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = self.out_channels // self.k
+        assert n * self.k == self.out_channels, \
+            f'out_channels {self.out_channels} must divide k={self.k}'
+        rates = _dilation_schedule(self.k, self.spatial, self.r_lim, self.spaspp)
+
+        reduced = _CBR(self.in_channels, n, 1, groups=self.k,
+                       name='proj_1x1')(x, train=train)
+
+        # k depthwise dilated branches with hierarchical feature fusion
+        branches = []
+        for i, d in enumerate(rates):
+            b = nn.Conv(n, (3, 3), strides=(self.stride, self.stride),
+                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                        feature_group_count=n, use_bias=False,
+                        kernel_init=kaiming_init, name=f'spp_dw{i}')(reduced)
+            if branches:
+                b = b + branches[-1]
+            branches.append(b)
+
+        if self.sespv2:
+            branches = [
+                nn.Conv(n, (3, 3), padding=((d + 1, d + 1), (d + 1, d + 1)),
+                        kernel_dilation=(d + 1, d + 1), feature_group_count=n,
+                        use_bias=False, kernel_init=kaiming_init,
+                        name=f'spp_dw_v2_{i}')(b)
+                for i, (b, d) in enumerate(zip(branches, rates))
+            ]
+
+        merged = jnp.concatenate(branches, axis=-1)
+        merged = Norm2d(dict(type='BN'), name='br_after_cat_norm')(merged, train=train)
+        merged = PReLU(self.out_channels, name='br_after_cat_act')(merged)
+        expanded = _CB(self.out_channels, self.out_channels, 1,
+                       groups=self.k, name='conv_1x1_exp')(merged, train=train)
+
+        if self.stride == 2 and self.down_method == 'avg':
+            return expanded
+        if self.stride == 2 and not self.spatial:
+            return expanded + avg_pool2d(x, 3, 2, 1)
+        if expanded.shape == x.shape:
+            expanded = expanded + x
+        return PReLU(self.out_channels, name='module_act')(expanded)
+
+
+class ESPDownSampler(nn.Module):
+    """Down-sampler: concat[avg-pool(x), SESP(x, stride 2, 'avg')] + PReLU.
+
+    For ``out_channels > in_channels`` the SESP branch produces
+    ``out - in`` channels so the concat lands exactly on ``out_channels``
+    (reference ``eesp.py:220-253`` with ``Keep_channels_up``).
+    """
+    in_channels: int
+    out_channels: int
+    k: int = 4
+    r_lim: int = 9
+    spatial: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        new_channels = self.out_channels - self.in_channels
+        assert new_channels > 0, 'DownSampler expects out > in channels'
+        avg_out = avg_pool2d(x, 3, 2, 1)
+        esp_out = SESP(self.in_channels, new_channels, stride=2, k=self.k,
+                       r_lim=self.r_lim, down_method='avg',
+                       spatial=self.spatial, name='eesp')(x, train=train)
+        out = jnp.concatenate([avg_out, esp_out], axis=-1)
+        return PReLU(self.out_channels, name='act')(out)
+
+
+class CESPB(nn.Module):
+    """Cascaded ESP Block: one (down-sampling) SESP stage + refinements.
+
+    The stage block of both LED-Net branches per the supplementary PDF §7:
+    context stages down-sample (dilations 1..4), spatial stages keep
+    resolution (dilations all 1).
+    """
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    num_blocks: int = 1
+    k: int = 4
+    spatial: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride == 2:
+            x = ESPDownSampler(self.in_channels, self.out_channels, k=self.k,
+                               spatial=self.spatial, name='down')(x, train=train)
+        else:
+            x = SESP(self.in_channels, self.out_channels, k=self.k,
+                     spatial=self.spatial, name='block0')(x, train=train)
+        for i in range(1, self.num_blocks):
+            x = SESP(self.out_channels, self.out_channels, k=self.k,
+                     spatial=self.spatial, name=f'block{i}')(x, train=train)
+        return x

@@ -45,15 +45,16 @@ def build_activation(act_cfg: Optional[Dict], channels: Optional[int] = None,
 
     Mirrors mmcv ``build_activation_layer``; ``act_cfg=None`` means identity.
     """
+    from collections.abc import Mapping
     if act_cfg is None:
         return lambda x: x
-    act_type = act_cfg['type'] if isinstance(act_cfg, dict) else act_cfg
+    act_type = act_cfg['type'] if isinstance(act_cfg, Mapping) else act_cfg
     if act_type == 'ReLU':
         return nn.relu
     if act_type == 'ReLU6':
         return lambda x: jnp.clip(x, 0, 6)
     if act_type == 'LeakyReLU':
-        slope = act_cfg.get('negative_slope', 0.01) if isinstance(act_cfg, dict) else 0.01
+        slope = act_cfg.get('negative_slope', 0.01) if isinstance(act_cfg, Mapping) else 0.01
         return lambda x: nn.leaky_relu(x, negative_slope=slope)
     if act_type == 'PReLU':
         return PReLU(num_parameters=channels or 1, name=name)

@@ -1,0 +1,156 @@
+"""Cross-entropy losses (softmax + sigmoid/BCE) with ignore-index handling.
+
+Behavioral spec: reference ``mmseg/models/losses/cross_entropy_loss.py``
+(class_weight, avg_non_ignore, sigmoid/softmax paths). Logits are NHWC
+``(B, H, W, C)``; labels are ``(B, H, W)`` int32 with ``ignore_index``
+sentinel pixels. All reductions are static-shape masked means (no boolean
+indexing), so the whole loss jits into the training step.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lednet_tpu.registry import MODELS
+
+
+def pixelwise_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                            ignore_index: int = 255,
+                            class_weight: Optional[jnp.ndarray] = None):
+    """Per-pixel CE and validity mask. Returns (loss[B,H,W], valid[B,H,W])."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        w = jnp.asarray(class_weight, jnp.float32)[safe_labels]
+        nll = nll * w
+    return jnp.where(valid, nll, 0.0), valid
+
+
+@MODELS.register_module()
+class CrossEntropyLoss:
+    """Softmax or sigmoid cross-entropy (reference ``cross_entropy_loss.py``).
+
+    With ``class_weight`` the normalizer follows torch's weighted-CE
+    convention (sum of selected class weights), matching
+    ``F.cross_entropy(weight=...)``.
+    """
+
+    def __init__(self, use_sigmoid: bool = False, use_mask: bool = False,
+                 reduction: str = 'mean', class_weight: Optional[Sequence[float]] = None,
+                 loss_weight: float = 1.0, loss_name: str = 'loss_ce',
+                 avg_non_ignore: bool = False):
+        if use_mask:
+            raise NotImplementedError('mask CE is not used by the rebuilt model zoo')
+        self.use_sigmoid = use_sigmoid
+        self.reduction = reduction
+        self.class_weight = class_weight
+        self.loss_weight = loss_weight
+        self.loss_name = loss_name
+        self.avg_non_ignore = avg_non_ignore
+
+    def __call__(self, logits, labels, weight=None, ignore_index: int = 255,
+                 avg_factor=None):
+        if self.use_sigmoid:
+            return self._binary(logits, labels, weight, ignore_index)
+        cw = None if self.class_weight is None else jnp.asarray(self.class_weight)
+        pix, valid = pixelwise_cross_entropy(logits, labels, ignore_index, cw)
+        if weight is not None:
+            pix = pix * weight
+        if self.reduction == 'none':
+            return self.loss_weight * pix
+        if self.reduction == 'sum':
+            return self.loss_weight * jnp.sum(pix)
+        if avg_factor is not None:
+            denom = avg_factor
+        elif cw is not None:
+            # torch weighted-CE mean: divide by the sum of per-pixel weights
+            safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+            denom = jnp.sum(jnp.where(valid, cw[safe], 0.0))
+        elif self.avg_non_ignore:
+            denom = jnp.sum(valid)
+        else:
+            # torch mean over non-ignored counts by default in F.cross_entropy;
+            # mmseg passes avg_non_ignore=False meaning divide by all pixels
+            denom = labels.size
+        return self.loss_weight * jnp.sum(pix) / jnp.maximum(denom, 1)
+
+    def _binary(self, logits, labels, weight, ignore_index):
+        if logits.shape[-1] == 1:
+            logits = logits[..., 0]
+        valid = (labels != ignore_index)
+        target = jnp.where(valid, labels, 0).astype(jnp.float32)
+        x = logits.astype(jnp.float32)
+        # numerically-stable BCE-with-logits
+        loss = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        loss = jnp.where(valid, loss, 0.0)
+        if weight is not None:
+            loss = loss * weight
+        denom = jnp.sum(valid) if self.avg_non_ignore else labels.size
+        return self.loss_weight * jnp.sum(loss) / jnp.maximum(denom, 1)
+
+
+@MODELS.register_module()
+class OhemCrossEntropy:
+    """Online hard example mining CE (PIDNet-style).
+
+    Behavioral spec from the reference ``ohem_cross_entropy_loss.py:52-90``:
+    keep valid pixels whose GT-class softmax probability is strictly below
+    ``max(kth_smallest_prob, thres)`` where k = ``min(min_kept, n_valid - 1)``;
+    the loss is the mean CE over the kept set.
+
+    TPU-native formulation: instead of torch's boolean-indexed sort/filter
+    (dynamic shapes), we sort the full static-size probability vector with
+    ignored pixels pushed to the tail (+2.0 > any probability) and read the
+    k-th order statistic with a dynamic index — one ``jnp.sort`` plus masked
+    reductions, fully jittable.
+    """
+
+    def __init__(self, ignore_label: int = 255, thres: float = 0.7,
+                 min_kept: int = 100000, loss_weight: float = 1.0,
+                 class_weight: Optional[Sequence[float]] = None,
+                 loss_name: str = 'loss_ohem'):
+        self.ignore_label = ignore_label
+        self.thresh = float(thres)
+        self.min_kept = max(1, int(min_kept))
+        self.loss_weight = loss_weight
+        self.class_weight = class_weight
+        self.loss_name = loss_name
+
+    def __call__(self, logits, labels, weight=None, ignore_index=None,
+                 avg_factor=None):
+        ignore = self.ignore_label if ignore_index is None else ignore_index
+        cw = None if self.class_weight is None else jnp.asarray(self.class_weight)
+        pix, valid = pixelwise_cross_entropy(logits, labels, ignore, cw)
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+        p_gt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+        p_flat = jnp.where(valid, p_gt, 2.0).reshape(-1)
+
+        n_valid = jnp.sum(valid)
+        sorted_p = jnp.sort(p_flat)  # ascending; invalid (2.0) at the tail
+        k = jnp.minimum(self.min_kept, jnp.maximum(n_valid - 1, 0))
+        min_value = sorted_p[jnp.minimum(k, p_flat.shape[0] - 1)]
+        threshold = jnp.maximum(min_value, self.thresh)
+
+        keep = valid & (p_gt < threshold)
+        kept_loss = jnp.sum(jnp.where(keep, pix, 0.0))
+        n_kept = jnp.sum(keep)
+        mean = jnp.where(n_kept > 0, kept_loss / jnp.maximum(n_kept, 1), 0.0)
+        # reference returns 0.0 when there are no valid pixels at all
+        return self.loss_weight * jnp.where(n_valid > 0, mean, 0.0)
+
+
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+             ignore_index: int = 255) -> jnp.ndarray:
+    """Top-1 pixel accuracy over non-ignored pixels (reference
+    ``mmseg/models/losses/accuracy.py``)."""
+    pred = jnp.argmax(logits, axis=-1)
+    valid = labels != ignore_index
+    correct = jnp.sum((pred == labels) & valid)
+    return 100.0 * correct / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,78 @@
+"""SEAM — Laplacian edge-attention module.
+
+Behavioral spec from the reference's standalone LED prototype
+(``tools/speed/ddrnet_speed.py:88-93,282-338,388-389``) and the supplementary
+PDF §4:
+
+1. project the 1/8 stem feature to 1 channel (3x3 conv+BN), min-max normalize
+   over the whole tensor,
+2. fixed 3x3 Laplacian convolutions at strides 1/2/4 -> clamp(min=0) ->
+   binarize at a threshold (0.1 fixed; PDF recommends the 80th percentile —
+   available via ``adaptive_threshold``),
+3. nearest-upsample the coarse maps, fuse the 3-level stack with the fixed
+   kernel [0.6, 0.3, 0.1], binarize again,
+4. re-project 1 -> C channels (3x3 conv+BN); the caller multiplies this into
+   the spatial branch and adds it residually
+   (``result = conv_2(seg) * x_s; x_s = result + x_s``).
+
+The binarization is a hard step (zero gradient), matching the reference's
+in-place masking semantics.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lednet_tpu.models.layers import ConvModule
+from lednet_tpu.ops.resize import resize_nearest
+
+_LAPLACIAN = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float32)
+_FUSION = np.array([0.6, 0.3, 0.1], np.float32)
+
+
+def _laplacian_conv(x, stride: int):
+    """Fixed-kernel 3x3 conv, NHWC single channel, padding 1."""
+    kernel = jnp.asarray(_LAPLACIAN).reshape(3, 3, 1, 1)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class SEAM(nn.Module):
+    """Produces the C-channel edge-attention map from the stem feature."""
+    channels: int
+    boundary_threshold: float = 0.1
+    adaptive_threshold: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        proj = ConvModule(self.channels, 1, 3, padding=1,
+                          norm_cfg=dict(type='BN'), act_cfg=None,
+                          name='conv_1')(x, train=train)
+        # global min-max normalization (whole tensor, as in the reference)
+        lo = jnp.min(proj)
+        hi = jnp.max(proj)
+        seg = (proj - lo) / (hi - lo + 1e-12)
+
+        def binarize(t):
+            if self.adaptive_threshold:
+                thr = jnp.percentile(t, 80.0)
+            else:
+                thr = self.boundary_threshold
+            return jnp.where(t > thr, 1.0, 0.0).astype(t.dtype)
+
+        b1 = binarize(jnp.maximum(_laplacian_conv(seg, 1), 0))
+        b2 = jnp.maximum(_laplacian_conv(seg, 2), 0)
+        b4 = jnp.maximum(_laplacian_conv(seg, 4), 0)
+        size = b1.shape[-3:-1]
+        b2 = binarize(resize_nearest(b2, size))
+        b4 = binarize(resize_nearest(b4, size))
+
+        fused = _FUSION[0] * b1 + _FUSION[1] * b2 + _FUSION[2] * b4
+        fused = binarize(fused)
+
+        return ConvModule(1, self.channels, 3, padding=1,
+                          norm_cfg=dict(type='BN'), act_cfg=None,
+                          name='conv_2')(fused, train=train)
