@@ -1,0 +1,160 @@
+"""Host-side data loading: samplers, collation, threaded prefetch.
+
+Replaces the reference's torch DataLoader + DefaultSampler/InfiniteSampler
+(``configs/_base_/datasets/pascal_voc12.py:47,59``; mmengine samplers). Rank
+sharding for multi-host SPMD follows the same round-robin contract as the
+reference's DDP samplers: rank r of world W takes indices r, r+W, r+2W, ...
+cv2/PIL release the GIL, so a thread pool keeps the TPU fed without the
+multiprocess worker machinery torch needs.
+"""
+from __future__ import annotations
+
+import itertools
+import threading
+import queue as queue_mod
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from lednet_tpu.registry import DATASETS
+
+
+class InfiniteSampler:
+    """Shuffled infinite index stream (mmengine InfiniteSampler semantics)."""
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
+                 rank: int = 0, world_size: int = 1):
+        self.size = size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.default_rng(self.seed)
+        while True:
+            order = g.permutation(self.size) if self.shuffle else np.arange(self.size)
+            yield from order[self.rank::self.world_size].tolist()
+
+
+class DefaultSampler:
+    """One epoch, optionally shuffled; pads to a multiple of world_size."""
+
+    def __init__(self, size: int, shuffle: bool = False, seed: int = 0,
+                 rank: int = 0, world_size: int = 1):
+        self.size = size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+
+    def __iter__(self) -> Iterator[int]:
+        order = (np.random.default_rng(self.seed).permutation(self.size)
+                 if self.shuffle else np.arange(self.size))
+        yield from order[self.rank::self.world_size].tolist()
+
+    def __len__(self) -> int:
+        return (self.size - self.rank + self.world_size - 1) // self.world_size
+
+
+def collate(items: List[Dict]) -> Dict[str, Any]:
+    """Stack same-shaped samples; keep metas as a list. Variable-size test
+    samples (bs=1) stack trivially."""
+    batch: Dict[str, Any] = {}
+    batch['inputs'] = np.stack([it['inputs'] for it in items])
+    if 'gt_seg_map' in items[0]:
+        batch['gt_seg_map'] = np.stack([it['gt_seg_map'] for it in items])
+    if 'gt_edge_map' in items[0]:
+        batch['gt_edge_map'] = np.stack([it['gt_edge_map'] for it in items])
+    batch['metainfo'] = [it['metainfo'] for it in items]
+    return batch
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int = 1, num_workers: int = 2,
+                 sampler: Optional[Any] = None, drop_last: bool = False,
+                 prefetch: int = 4, infinite: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.sampler = sampler
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.infinite = infinite
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if hasattr(self.sampler, '__len__') else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self) -> Iterator[List[int]]:
+        it = iter(self.sampler) if self.sampler is not None \
+            else iter(range(len(self.dataset)))
+        while True:
+            idx = list(itertools.islice(it, self.batch_size))
+            if not idx:
+                return
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            yield idx
+
+    def __iter__(self) -> Iterator[Dict]:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        out_q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def produce():
+            try:
+                futures = []
+                for idx in self._index_batches():
+                    fut = [pool.submit(self.dataset.__getitem__, i) for i in idx]
+                    futures.append(fut)
+                    if len(futures) >= self.prefetch:
+                        ready = futures.pop(0)
+                        out_q.put(collate([f.result() for f in ready]))
+                for fut in futures:
+                    out_q.put(collate([f.result() for f in fut]))
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def build_dataloader(cfg: Dict, rank: int = 0, world_size: int = 1,
+                     seed: int = 0, default_batch_size: Optional[int] = None
+                     ) -> DataLoader:
+    """Build a DataLoader from an mmseg-style dataloader config dict
+    (batch_size / num_workers / sampler / dataset keys)."""
+    cfg = dict(cfg)
+    dataset = DATASETS.build(dict(cfg['dataset']))
+    batch_size = cfg.get('batch_size', default_batch_size or 1)
+    num_workers = cfg.get('num_workers', 2)
+    sampler_cfg = dict(cfg.get('sampler', dict(type='DefaultSampler')))
+    stype = sampler_cfg.pop('type', 'DefaultSampler')
+    shuffle = sampler_cfg.pop('shuffle', False)
+    if stype == 'InfiniteSampler':
+        sampler = InfiniteSampler(len(dataset), shuffle=shuffle, seed=seed,
+                                  rank=rank, world_size=world_size)
+        infinite = True
+    else:
+        sampler = DefaultSampler(len(dataset), shuffle=shuffle, seed=seed,
+                                 rank=rank, world_size=world_size)
+        infinite = False
+    return DataLoader(dataset, batch_size=batch_size, num_workers=num_workers,
+                      sampler=sampler, infinite=infinite,
+                      drop_last=cfg.get('drop_last', False))

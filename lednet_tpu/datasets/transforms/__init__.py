@@ -1,0 +1,13 @@
+from lednet_tpu.datasets.transforms.formatting import PackSegInputs
+from lednet_tpu.datasets.transforms.loading import (LoadAnnotations,
+                                                    LoadImageFromFile,
+                                                    LoadImageFromNDArray)
+from lednet_tpu.datasets.transforms.transforms import (CLAHE, AdjustGamma,
+                                                       GenerateEdge,
+                                                       PhotoMetricDistortion,
+                                                       RandomCrop, RandomFlip,
+                                                       RandomResize,
+                                                       RandomRotate, Rerange,
+                                                       Resize,
+                                                       ResizeToMultiple,
+                                                       RGB2Gray, SegRescale)

@@ -1,0 +1,93 @@
+"""Loading transforms.
+
+Behavioral spec: reference ``mmseg/datasets/transforms/loading.py`` —
+``LoadImageFromFile`` reads BGR uint8 via cv2 (mmcv's imfrombytes default),
+``LoadAnnotations`` reads the label map, applies ``label_map`` remapping and
+``reduce_zero_label`` (0->255, x->x-1), ``LoadImageFromNDArray`` wraps an
+in-memory array for the inference APIs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import cv2
+import numpy as np
+
+from lednet_tpu.registry import TRANSFORMS
+
+
+@TRANSFORMS.register_module()
+class LoadImageFromFile:
+    def __init__(self, to_float32: bool = False, color_type: str = 'color',
+                 imdecode_backend: str = 'cv2', backend_args=None,
+                 ignore_empty: bool = False):
+        self.to_float32 = to_float32
+        self.color_type = color_type
+
+    def __call__(self, results: Dict) -> Dict:
+        flag = cv2.IMREAD_COLOR if self.color_type == 'color' else \
+            cv2.IMREAD_GRAYSCALE
+        img = cv2.imread(results['img_path'], flag)
+        if img is None:
+            raise FileNotFoundError(results['img_path'])
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['img'] = img
+        results['img_shape'] = img.shape[:2]
+        results['ori_shape'] = img.shape[:2]
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadImageFromNDArray(LoadImageFromFile):
+    """Reference ``loading.py:138`` — array passed as ``results['img']``."""
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['img_path'] = None
+        results['img'] = img
+        results['img_shape'] = img.shape[:2]
+        results['ori_shape'] = img.shape[:2]
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadAnnotations:
+    def __init__(self, reduce_zero_label=None, imdecode_backend: str = 'pillow',
+                 backend_args=None):
+        self.reduce_zero_label = reduce_zero_label
+        self.imdecode_backend = imdecode_backend
+
+    def __call__(self, results: Dict) -> Dict:
+        # pillow is the mmseg default for labels: palettized PNGs decode to
+        # their palette *indices* (cv2 would expand them to colors).
+        if self.imdecode_backend == 'pillow':
+            from PIL import Image
+            with Image.open(results['seg_map_path']) as im:
+                seg = np.array(im)
+        else:
+            seg = cv2.imread(results['seg_map_path'], cv2.IMREAD_UNCHANGED)
+        if seg is None:
+            raise FileNotFoundError(results['seg_map_path'])
+        if seg.ndim == 3:  # color-encoded labels: take one plane
+            seg = seg[:, :, 0]
+        reduce_zero = self.reduce_zero_label
+        if reduce_zero is None:
+            reduce_zero = results.get('reduce_zero_label', False)
+        if reduce_zero:
+            seg = seg.astype(np.int32)
+            seg[seg == 0] = 256
+            seg = seg - 1
+            seg[seg == 255] = 255
+            seg = seg.astype(np.uint8)
+        label_map = results.get('label_map')
+        if label_map:
+            out = seg.copy()
+            for old, new in label_map.items():
+                out[seg == old] = new
+            seg = out
+        results['gt_seg_map'] = seg
+        results.setdefault('seg_fields', []).append('gt_seg_map')
+        return results

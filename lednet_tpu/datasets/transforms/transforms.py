@@ -1,0 +1,375 @@
+"""Geometric & photometric augmentation transforms (numpy/cv2 host side).
+
+Behavioral spec: reference ``mmseg/datasets/transforms/transforms.py`` and the
+mmcv transforms it inherits. The canonical LED-Net train pipeline
+(``configs/_base_/datasets/pascal_voc12.py:6-18``) is: LoadImageFromFile ->
+LoadAnnotations -> RandomResize((2048,512), ratio (0.5,2.0), keep_ratio) ->
+RandomCrop(512^2, cat_max_ratio=0.75) -> RandomFlip(0.5) ->
+PhotoMetricDistortion -> PackSegInputs.
+
+Distribution-parity notes (SURVEY.md §7.4): RandomResize samples a uniform
+ratio against scale=(W,H); keep_ratio resizing uses mmcv's 'rescale' rule
+(min(long/longest, short/shortest)); RandomCrop re-draws up to 10 times while
+one class (ignoring 255) covers > cat_max_ratio; PhotoMetricDistortion follows
+the SSD ordering (brightness -> [contrast] -> saturation -> hue -> [contrast])
+with per-step coin flips in BGR/HSV uint8 space.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from lednet_tpu.registry import TRANSFORMS
+
+
+def _rescale_size(old_size: Tuple[int, int], scale, return_scale=False):
+    """mmcv.rescale_size: (w, h) target given scale tuple/factor."""
+    w, h = old_size
+    if isinstance(scale, (float, int)):
+        scale_factor = scale
+    else:
+        max_long, max_short = max(scale), min(scale)
+        scale_factor = min(max_long / max(h, w), max_short / min(h, w))
+    new_size = (int(w * scale_factor + 0.5), int(h * scale_factor + 0.5))
+    if return_scale:
+        return new_size, scale_factor
+    return new_size
+
+
+def _imresize(img, size_wh, interpolation='bilinear'):
+    interp = {'bilinear': cv2.INTER_LINEAR, 'nearest': cv2.INTER_NEAREST,
+              'bicubic': cv2.INTER_CUBIC}[interpolation]
+    return cv2.resize(img, size_wh, interpolation=interp)
+
+
+@TRANSFORMS.register_module()
+class Resize:
+    """mmcv Resize: ``scale=(w, h)``; ``keep_ratio`` rescales the long edge."""
+
+    def __init__(self, scale=None, scale_factor=None, keep_ratio=False,
+                 clip_object_border=True, interpolation='bilinear',
+                 backend='cv2'):
+        self.scale = scale
+        self.scale_factor = scale_factor
+        self.keep_ratio = keep_ratio
+        self.interpolation = interpolation
+
+    def _target_scale(self, results):
+        if results.get('scale') is not None:
+            return results['scale']
+        if self.scale is not None:
+            return self.scale
+        h, w = results['img'].shape[:2]
+        f = self.scale_factor
+        if isinstance(f, (tuple, list)):
+            f = f[0]
+        return (int(w * f), int(h * f))
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        scale = self._target_scale(results)
+        if self.keep_ratio:
+            new_w, new_h = _rescale_size((w, h), scale)
+        else:
+            new_w, new_h = int(scale[0]), int(scale[1])
+        results['img'] = _imresize(img, (new_w, new_h), self.interpolation)
+        results['img_shape'] = (new_h, new_w)
+        results['scale'] = (new_w, new_h)
+        results['scale_factor'] = (new_w / w, new_h / h)
+        results['keep_ratio'] = self.keep_ratio
+        for key in results.get('seg_fields', []):
+            results[key] = _imresize(results[key], (new_w, new_h), 'nearest')
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomResize:
+    """Sample a ratio in ``ratio_range`` against ``scale=(w, h)``, then
+    delegate to Resize(keep_ratio)."""
+
+    def __init__(self, scale, ratio_range=(0.5, 2.0), keep_ratio=True,
+                 interpolation='bilinear', resize_type='Resize', **kwargs):
+        self.scale = scale
+        self.ratio_range = ratio_range
+        self.resize = Resize(scale=None, keep_ratio=keep_ratio,
+                             interpolation=interpolation)
+
+    def __call__(self, results: Dict) -> Dict:
+        lo, hi = self.ratio_range
+        ratio = np.random.random_sample() * (hi - lo) + lo
+        results['scale'] = (int(self.scale[0] * ratio),
+                            int(self.scale[1] * ratio))
+        out = self.resize(results)
+        out.pop('scale', None)
+        return out
+
+
+@TRANSFORMS.register_module()
+class ResizeToMultiple:
+    """Pad-free resize up to the next multiple (reference ``transforms.py:33``)."""
+
+    def __init__(self, size_divisor=32, interpolation='bilinear'):
+        self.size_divisor = size_divisor
+        self.interpolation = interpolation
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        d = self.size_divisor
+        new_h, new_w = -(-h // d) * d, -(-w // d) * d
+        results['img'] = _imresize(img, (new_w, new_h), self.interpolation)
+        results['img_shape'] = (new_h, new_w)
+        for key in results.get('seg_fields', []):
+            results[key] = _imresize(results[key], (new_w, new_h), 'nearest')
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomCrop:
+    """Random crop with the class-balance re-draw loop
+    (reference ``transforms.py:208``: up to 10 attempts while a single class
+    covers more than ``cat_max_ratio`` of the crop, ignore_index excluded)."""
+
+    def __init__(self, crop_size, cat_max_ratio=1.0, ignore_index=255):
+        self.crop_size = crop_size  # (h, w)
+        self.cat_max_ratio = cat_max_ratio
+        self.ignore_index = ignore_index
+
+    def _sample_bbox(self, img_shape):
+        h, w = img_shape[:2]
+        margin_h = max(h - self.crop_size[0], 0)
+        margin_w = max(w - self.crop_size[1], 0)
+        y = np.random.randint(0, margin_h + 1)
+        x = np.random.randint(0, margin_w + 1)
+        return y, min(y + self.crop_size[0], h), x, min(x + self.crop_size[1], w)
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        y1, y2, x1, x2 = self._sample_bbox(img.shape)
+        gt = results.get('gt_seg_map')
+        if self.cat_max_ratio < 1.0 and gt is not None:
+            for _ in range(10):
+                crop = gt[y1:y2, x1:x2]
+                labels, cnt = np.unique(crop, return_counts=True)
+                cnt = cnt[labels != self.ignore_index]
+                if len(cnt) > 1 and cnt.max() / cnt.sum() < self.cat_max_ratio:
+                    break
+                y1, y2, x1, x2 = self._sample_bbox(img.shape)
+        results['img'] = img[y1:y2, x1:x2]
+        results['img_shape'] = results['img'].shape[:2]
+        for key in results.get('seg_fields', []):
+            results[key] = results[key][y1:y2, x1:x2]
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomFlip:
+    def __init__(self, prob=None, direction='horizontal', swap_seg_labels=None):
+        self.prob = prob
+        self.direction = direction
+
+    def __call__(self, results: Dict) -> Dict:
+        flip = self.prob is not None and np.random.rand() < self.prob
+        results['flip'] = flip
+        results['flip_direction'] = self.direction if flip else None
+        if flip:
+            axis = 1 if self.direction == 'horizontal' else 0
+            results['img'] = np.flip(results['img'], axis=axis).copy()
+            for key in results.get('seg_fields', []):
+                results[key] = np.flip(results[key], axis=axis).copy()
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomRotate:
+    """Reference ``transforms.py:340``: rotate with prob, uniform degree."""
+
+    def __init__(self, prob, degree, pad_val=0, seg_pad_val=255,
+                 center=None, auto_bound=False):
+        self.prob = prob
+        self.degree = (-degree, degree) if isinstance(degree, (int, float)) \
+            else degree
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+        self.center = center
+
+    def __call__(self, results: Dict) -> Dict:
+        if np.random.rand() >= self.prob:
+            return results
+        angle = np.random.uniform(*self.degree)
+        img = results['img']
+        h, w = img.shape[:2]
+        center = self.center or ((w - 1) * 0.5, (h - 1) * 0.5)
+        mat = cv2.getRotationMatrix2D(center, -angle, 1.0)
+        results['img'] = cv2.warpAffine(img, mat, (w, h),
+                                        borderValue=self.pad_val)
+        for key in results.get('seg_fields', []):
+            results[key] = cv2.warpAffine(
+                results[key], mat, (w, h), flags=cv2.INTER_NEAREST,
+                borderValue=self.seg_pad_val)
+        return results
+
+
+@TRANSFORMS.register_module()
+class PhotoMetricDistortion:
+    """SSD-style photometric jitter in uint8 BGR/HSV space
+    (reference ``transforms.py:583``)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    @staticmethod
+    def _convert(img, alpha=1.0, beta=0.0):
+        return np.clip(img.astype(np.float32) * alpha + beta, 0, 255
+                       ).astype(np.uint8)
+
+    def _brightness(self, img):
+        if np.random.randint(2):
+            return self._convert(
+                img, beta=np.random.uniform(-self.brightness_delta,
+                                            self.brightness_delta))
+        return img
+
+    def _contrast(self, img):
+        if np.random.randint(2):
+            return self._convert(
+                img, alpha=np.random.uniform(self.contrast_lower,
+                                             self.contrast_upper))
+        return img
+
+    def _saturation(self, img):
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 1] = self._convert(
+                hsv[:, :, 1],
+                alpha=np.random.uniform(self.saturation_lower,
+                                        self.saturation_upper))
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        return img
+
+    def _hue(self, img):
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) +
+                            np.random.randint(-self.hue_delta,
+                                              self.hue_delta)) % 180
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        return img
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        img = self._brightness(img)
+        mode = np.random.randint(2)
+        if mode == 1:
+            img = self._contrast(img)
+        img = self._saturation(img)
+        img = self._hue(img)
+        if mode == 0:
+            img = self._contrast(img)
+        results['img'] = img
+        return results
+
+
+@TRANSFORMS.register_module()
+class CLAHE:
+    def __init__(self, clip_limit=40.0, tile_grid_size=(8, 8)):
+        self.clip_limit = clip_limit
+        self.tile_grid_size = tuple(tile_grid_size)
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        clahe = cv2.createCLAHE(self.clip_limit, self.tile_grid_size)
+        for c in range(img.shape[2]):
+            img[:, :, c] = clahe.apply(np.array(img[:, :, c], np.uint8))
+        results['img'] = img
+        return results
+
+
+@TRANSFORMS.register_module()
+class AdjustGamma:
+    def __init__(self, gamma=1.0):
+        self.gamma = gamma
+        inv = 1.0 / gamma
+        self.table = np.array([(i / 255.0) ** inv * 255
+                               for i in range(256)]).astype(np.uint8)
+
+    def __call__(self, results: Dict) -> Dict:
+        results['img'] = cv2.LUT(np.array(results['img'], np.uint8), self.table)
+        return results
+
+
+@TRANSFORMS.register_module()
+class Rerange:
+    def __init__(self, min_value=0, max_value=255):
+        self.min_value, self.max_value = min_value, max_value
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img'].astype(np.float32)
+        lo, hi = np.min(img), np.max(img)
+        img = (img - lo) / (hi - lo)
+        results['img'] = img * (self.max_value - self.min_value) + self.min_value
+        return results
+
+
+@TRANSFORMS.register_module()
+class RGB2Gray:
+    def __init__(self, out_channels=None, weights=(0.299, 0.587, 0.114)):
+        self.out_channels = out_channels
+        self.weights = weights
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img'].astype(np.float32)
+        gray = (img * np.array(self.weights)).sum(2, keepdims=True)
+        reps = self.out_channels or img.shape[2]
+        results['img'] = np.tile(gray, (1, 1, reps))
+        return results
+
+
+@TRANSFORMS.register_module()
+class SegRescale:
+    def __init__(self, scale_factor=1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results: Dict) -> Dict:
+        if self.scale_factor != 1:
+            for key in results.get('seg_fields', []):
+                h, w = results[key].shape[:2]
+                results[key] = _imresize(
+                    results[key], (int(w * self.scale_factor),
+                                   int(h * self.scale_factor)), 'nearest')
+        return results
+
+
+@TRANSFORMS.register_module()
+class GenerateEdge:
+    """STDC boundary ground truth via morphological gradient of the label
+    (reference ``transforms.py:1394``: per-class edge union, dilated)."""
+
+    def __init__(self, edge_width=3, ignore_index=255):
+        self.edge_width = edge_width
+        self.ignore_index = ignore_index
+
+    def __call__(self, results: Dict) -> Dict:
+        seg = results['gt_seg_map']
+        edge = np.zeros_like(seg, dtype=np.uint8)
+        # pixel differs from a 4-neighbour -> boundary
+        diff = np.zeros_like(seg, dtype=bool)
+        diff[1:, :] |= (seg[1:, :] != seg[:-1, :])
+        diff[:-1, :] |= (seg[1:, :] != seg[:-1, :])
+        diff[:, 1:] |= (seg[:, 1:] != seg[:, :-1])
+        diff[:, :-1] |= (seg[:, 1:] != seg[:, :-1])
+        diff &= (seg != self.ignore_index)
+        edge[diff] = 1
+        if self.edge_width > 1:
+            kernel = np.ones((self.edge_width, self.edge_width), np.uint8)
+            edge = cv2.dilate(edge, kernel)
+        results['gt_edge_map'] = edge
+        results.setdefault('seg_fields', []).append('gt_edge_map')
+        return results

@@ -1,0 +1,114 @@
+"""Optimizer + LR-schedule builders from mmseg-style config dicts.
+
+Behavioral spec: the reference trains with mmengine ``OptimWrapper`` (SGD
+lr=0.01 momentum=0.9 wd=5e-4, optional clip_grad) and a ``PolyLR`` scheduler
+(power 0.9, by_epoch=False) — ``configs/LED_Net/...py:63-75`` and
+``configs/_base_/schedules/*.py``. ``PolyLRRatio`` (reference
+``mmseg/engine/schedulers/poly_ratio_scheduler.py:10``) scales the floor by
+``eta_min_ratio`` instead of an absolute ``eta_min``.
+
+torch-SGD parity: momentum buffer ``v = mu*v + (g + wd*p)``, update
+``p -= lr*v`` — i.e. weight decay folds into the gradient *before* the
+momentum trace, which is ``optax.add_decayed_weights`` -> ``optax.trace`` ->
+lr scaling.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import optax
+
+
+def build_lr_schedule(param_scheduler, base_lr: float) -> Callable[[int], float]:
+    """Compose the (list of) scheduler configs into step -> lr."""
+    if param_scheduler is None:
+        return lambda step: base_lr
+    cfgs = param_scheduler if isinstance(param_scheduler, (list, tuple)) \
+        else [param_scheduler]
+
+    import jax.numpy as jnp
+
+    def lr_at(step):
+        """Traceable: works on both python ints and jnp tracers."""
+        step = jnp.asarray(step, jnp.float32)
+        lr = jnp.asarray(base_lr, jnp.float32)
+        for cfg in cfgs:
+            cfg = dict(cfg)
+            stype = cfg.get('type', 'PolyLR')
+            begin = cfg.get('begin', 0)
+            end = cfg.get('end', None)
+            span = None if end is None else max(end - begin, 1)
+            if stype in ('PolyLR', 'PolyLRRatio'):
+                if end is None or end <= begin:
+                    continue
+                power = cfg.get('power', 1.0)
+                eta_min = cfg.get('eta_min', 0.0)
+                if stype == 'PolyLRRatio' and cfg.get('eta_min_ratio') is not None:
+                    eta_min = lr * cfg['eta_min_ratio']
+                t = jnp.clip(step - begin, 0, span)
+                frac = 1.0 - t / span
+                lr = (lr - eta_min) * (frac ** power) + eta_min
+            elif stype == 'LinearLR':
+                if end is None or end <= begin:
+                    continue
+                start_factor = cfg.get('start_factor', 1.0 / 3)
+                end_factor = cfg.get('end_factor', 1.0)
+                t = jnp.clip(step - begin, 0, span)
+                f = start_factor + (end_factor - start_factor) * t / span
+                lr = jnp.where(step >= begin, lr * f, lr)
+            elif stype == 'ConstantLR':
+                factor = cfg.get('factor', 1.0)
+                active = (step >= begin) if end is None else \
+                    ((step >= begin) & (step < end))
+                lr = jnp.where(active, lr * factor, lr)
+            elif stype == 'MultiStepLR':
+                gamma = cfg.get('gamma', 0.1)
+                count = sum(jnp.where(step >= m, 1.0, 0.0)
+                            for m in cfg.get('milestones', []))
+                lr = lr * (gamma ** count)
+            else:
+                raise ValueError(f'Unsupported scheduler: {stype}')
+        return lr
+
+    return lr_at
+
+
+def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
+    """Build the optax chain from mmseg ``optim_wrapper`` config.
+
+    Returns ``(tx, lr_schedule)`` — the schedule is exposed for logging.
+    """
+    ow = dict(optim_wrapper or {})
+    opt_cfg = dict(ow.get('optimizer', dict(type='SGD', lr=0.01)))
+    otype = opt_cfg.pop('type', 'SGD')
+    lr = opt_cfg.pop('lr', 0.01)
+    schedule = build_lr_schedule(param_scheduler, lr)
+
+    chain: List[optax.GradientTransformation] = []
+    clip = ow.get('clip_grad')
+    if clip:
+        if 'max_norm' in clip:
+            chain.append(optax.clip_by_global_norm(clip['max_norm']))
+        elif 'clip_value' in clip:
+            chain.append(optax.clip(clip['clip_value']))
+
+    if otype == 'SGD':
+        wd = opt_cfg.pop('weight_decay', 0.0)
+        momentum = opt_cfg.pop('momentum', 0.0)
+        nesterov = opt_cfg.pop('nesterov', False)
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+    elif otype in ('Adam', 'AdamW'):
+        wd = opt_cfg.pop('weight_decay', 0.01 if otype == 'AdamW' else 0.0)
+        betas = opt_cfg.pop('betas', (0.9, 0.999))
+        eps = opt_cfg.pop('eps', 1e-8)
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+    else:
+        raise ValueError(f'Unsupported optimizer: {otype}')
+
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain), schedule

@@ -1,0 +1,200 @@
+"""Runner: config -> components -> train/val/test loops.
+
+TPU-native re-design of the mmengine Runner path the reference uses
+(``tools/train.py:60-106`` -> ``Runner.from_cfg`` -> ``IterBasedTrainLoop``;
+SURVEY.md §3.1/§3.2). One SPMD mesh replaces DDP launch/NCCL; the train step
+is a single jitted program (gradients, SyncBN and preprocessing fused); val
+runs the jitted predict path + IoUMetric with on-device histograms.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lednet_tpu.config import Config
+from lednet_tpu.datasets.loader import build_dataloader
+from lednet_tpu.engine.checkpoint import (find_latest_checkpoint,
+                                          load_checkpoint, save_checkpoint)
+from lednet_tpu.engine.loggers import ScalarLogger
+from lednet_tpu.engine.optim import build_optimizer
+from lednet_tpu.engine.state import (TrainState, create_train_state,
+                                     make_eval_step, make_train_step)
+from lednet_tpu.evaluation.iou_metric import IoUMetric
+from lednet_tpu.models.segmentors.encoder_decoder import postprocess_logits
+from lednet_tpu.parallel.mesh import make_mesh, shard_batch
+from lednet_tpu.registry import DATASETS, METRICS, MODELS
+
+
+class Runner:
+    def __init__(self, cfg: Config, work_dir: Optional[str] = None,
+                 devices=None, seed: int = 0):
+        self.cfg = cfg
+        self.work_dir = work_dir or cfg.get('work_dir') or './work_dirs/run'
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.seed = seed
+
+        self.mesh = make_mesh(devices)
+        self.n_devices = len(list(self.mesh.devices.flat))
+
+        model_cfg = cfg.model.to_dict() if hasattr(cfg.model, 'to_dict') \
+            else dict(cfg.model)
+        pre_cfg = model_cfg.get('data_preprocessor') or cfg.get('data_preprocessor')
+        self.preprocessor = MODELS.build(dict(pre_cfg)) if pre_cfg else None
+        self.model = MODELS.build(model_cfg)
+        self.test_mode = (model_cfg.get('test_cfg') or {}).get('mode', 'whole')
+
+        self.logger = ScalarLogger(self.work_dir)
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ train
+    def train(self, resume: bool = False):
+        cfg = self.cfg
+        train_cfg = cfg.get('train_cfg', {}) or {}
+        max_iters = train_cfg.get('max_iters', 80000)
+        val_interval = train_cfg.get('val_interval', 0)
+        hooks = cfg.get('default_hooks', {}) or {}
+        log_interval = (hooks.get('logger') or {}).get('interval', 50)
+        ckpt_interval = (hooks.get('checkpoint') or {}).get('interval', 5000)
+
+        # per-device batch size from config scales to the mesh (mmseg's
+        # batch_size is per-GPU; ours is per-device on the data mesh axis)
+        per_dev_bs = cfg.train_dataloader.get('batch_size', 2)
+        global_bs = per_dev_bs * self.n_devices
+        loader_cfg = dict(cfg.train_dataloader)
+        loader_cfg['batch_size'] = global_bs
+        train_loader = build_dataloader(loader_cfg, seed=self.seed)
+        self.dataset_meta = train_loader.dataset.metainfo
+
+        tx, lr_schedule = build_optimizer(cfg.get('optim_wrapper'),
+                                          cfg.get('param_scheduler'))
+        train_step = make_train_step(self.model, tx, self.preprocessor,
+                                     rng=jax.random.PRNGKey(self.seed))
+
+        # init on an example batch
+        data_iter = iter(train_loader)
+        batch = next(data_iter)
+        init_inputs, init_labels, _ = self._pre(batch, training=True)
+        if self.state is None:
+            self.state = create_train_state(
+                self.model, tx,
+                dict(inputs=init_inputs, gt_seg_map=init_labels),
+                rng=jax.random.PRNGKey(self.seed))
+        if resume:
+            latest = find_latest_checkpoint(self.work_dir)
+            if latest:
+                self.state, meta = load_checkpoint(latest, self.state)
+                print(f'resumed from {latest} (iter {meta.get("iter")})')
+
+        start = int(jax.device_get(self.state.step))
+        t_last = time.time()
+        for it in range(start, max_iters):
+            if it > start:
+                batch = next(data_iter)
+            inputs = shard_batch(jnp.asarray(batch['inputs']), self.mesh)
+            labels = shard_batch(jnp.asarray(batch['gt_seg_map']), self.mesh)
+            self.state, logs = train_step(self.state, inputs, labels)
+
+            step = it + 1
+            if step % log_interval == 0 or step == max_iters:
+                logs = jax.device_get(logs)
+                dt = (time.time() - t_last) / log_interval
+                t_last = time.time()
+                lr = lr_schedule(step)
+                self.logger.log(step, logs)
+                self.logger.console(step, max_iters, logs, lr=lr, iter_time=dt)
+            if ckpt_interval and step % ckpt_interval == 0:
+                save_checkpoint(self.work_dir, self.state,
+                                meta=dict(dataset_meta=_json_meta(self.dataset_meta)))
+            if val_interval and step % val_interval == 0 and 'val_dataloader' in self.cfg:
+                metrics = self.val()
+                self.logger.log(step, metrics, prefix='val/')
+                print(f'val @ {step}: {metrics}', flush=True)
+
+        save_checkpoint(self.work_dir, self.state,
+                        meta=dict(dataset_meta=_json_meta(self.dataset_meta)))
+        return self.state
+
+    # ---------------------------------------------------------------- val/test
+    def val(self, loader_key: str = 'val_dataloader',
+            evaluator_key: str = 'val_evaluator') -> Dict[str, float]:
+        cfg = self.cfg
+        loader = build_dataloader(dict(cfg[loader_key]), seed=self.seed)
+        metainfo = loader.dataset.metainfo
+        num_classes = len(metainfo.get('classes', [])) or 2
+        metric_cfg = dict(cfg.get(evaluator_key) or dict(type='IoUMetric'))
+        metric = METRICS.build(metric_cfg)
+        metric.class_names = metainfo.get('classes')
+
+        eval_step = make_eval_step(self.model, self.preprocessor,
+                                   mode=self.test_mode)
+        head_cfg = (self.cfg.model.get('decode_head') or {})
+        out_channels = head_cfg.get('out_channels')
+        threshold = head_cfg.get('threshold', 0.3) or 0.3
+
+        for batch in loader:
+            inputs = jnp.asarray(batch['inputs'])
+            # pad to /32 so XLA shape-caches across aspect ratios
+            pad_h = (-inputs.shape[1]) % 32
+            pad_w = (-inputs.shape[2]) % 32
+            if pad_h or pad_w:
+                inputs = jnp.pad(inputs, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            logits = eval_step(self.state, inputs)
+            meta = batch['metainfo'][0]
+            extra_h = logits.shape[1] - (inputs.shape[1] - pad_h)
+            extra_w = logits.shape[2] - (inputs.shape[2] - pad_w)
+            _, pred = postprocess_logits(
+                logits, (extra_h, extra_w),
+                ori_shape=tuple(meta.get('ori_shape') or ()) or None,
+                out_channels=out_channels, threshold=threshold)
+            metric.process(pred, jnp.asarray(batch['gt_seg_map']), num_classes)
+        results = metric.compute_metrics()
+        print(metric.table(), flush=True)
+        return results
+
+    def test(self, checkpoint: Optional[str] = None) -> Dict[str, float]:
+        if checkpoint:
+            self.load(checkpoint)
+        assert self.state is not None, 'no weights: pass a checkpoint'
+        key = 'test_dataloader' if 'test_dataloader' in self.cfg else 'val_dataloader'
+        ekey = 'test_evaluator' if 'test_evaluator' in self.cfg else 'val_evaluator'
+        return self.val(key, ekey)
+
+    # ------------------------------------------------------------------- utils
+    def init_state(self, sample_shape=(1, 64, 64, 3)):
+        """Initialize weights without training (for test/demo entry points)."""
+        tx, _ = build_optimizer(self.cfg.get('optim_wrapper'),
+                                self.cfg.get('param_scheduler'))
+        sample = dict(inputs=jnp.zeros(sample_shape, jnp.float32),
+                      gt_seg_map=jnp.zeros(sample_shape[:3], jnp.int32))
+        self.state = create_train_state(self.model, tx, sample,
+                                        rng=jax.random.PRNGKey(self.seed))
+        return self.state
+
+    def load(self, checkpoint: str):
+        if self.state is None:
+            self.init_state()
+        self.state, meta = load_checkpoint(checkpoint, self.state)
+        self.ckpt_meta = meta
+        return meta
+
+    def _pre(self, batch, training: bool):
+        inputs = jnp.asarray(batch['inputs'])
+        labels = jnp.asarray(batch.get('gt_seg_map')) \
+            if batch.get('gt_seg_map') is not None else None
+        return inputs, labels, batch.get('metainfo')
+
+
+def _json_meta(meta: Dict) -> Dict:
+    out = {}
+    for k, v in (meta or {}).items():
+        if isinstance(v, (list, tuple)):
+            out[k] = [list(x) if isinstance(x, (list, tuple)) else x for x in v]
+        else:
+            out[k] = v
+    return out

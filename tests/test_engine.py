@@ -1,0 +1,122 @@
+"""End-to-end engine tests on a tiny on-disk pseudo dataset (the reference's
+fixture style, SURVEY.md §4) — runs the full train/val/resume cycle on the
+8-device virtual CPU mesh."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from lednet_tpu.config import Config
+from lednet_tpu.engine.runner import Runner
+import lednet_tpu  # noqa: F401
+
+lednet_tpu.register_all_modules()
+
+
+@pytest.fixture
+def pseudo_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / 'JPEGImages'
+    ann_dir = tmp_path / 'SegmentationClassPNG'
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    names = []
+    for i in range(4):
+        img = rng.integers(0, 255, (40, 56, 3), np.uint8)
+        ann = rng.integers(0, 2, (40, 56), np.uint8)
+        cv2.imwrite(str(img_dir / f'im{i}.png'), img)
+        cv2.imwrite(str(ann_dir / f'im{i}.png'), ann)
+        names.append(f'im{i}')
+    (tmp_path / 'train.txt').write_text('\n'.join(names[:3]))
+    (tmp_path / 'val.txt').write_text('\n'.join(names[3:]))
+    return tmp_path
+
+
+def _tiny_cfg(data_root, work_dir):
+    crop = (32, 32)
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='RandomResize', scale=(112, 48), ratio_range=(0.8, 1.2),
+             keep_ratio=True),
+        dict(type='RandomCrop', crop_size=crop, cat_max_ratio=0.75),
+        dict(type='RandomFlip', prob=0.5),
+        dict(type='PhotoMetricDistortion'),
+        dict(type='PackSegInputs'),
+    ]
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations'),
+        dict(type='PackSegInputs'),
+    ]
+    dataset = dict(type='PascalVOCDataset', data_root=str(data_root),
+                   data_prefix=dict(img_path='JPEGImages',
+                                    seg_map_path='SegmentationClassPNG'))
+    return Config(dict(
+        model=dict(
+            type='EncoderDecoder',
+            data_preprocessor=dict(type='SegDataPreProcessor', size=crop,
+                                   mean=[123.675, 116.28, 103.53],
+                                   std=[58.395, 57.12, 57.375],
+                                   bgr_to_rgb=True, pad_val=0, seg_pad_val=255),
+            backbone=dict(type='LEDNet', channels=8, ppm_channels=32),
+            decode_head=dict(type='LEDHead', in_channels=32, channels=16,
+                             dropout_ratio=0.0, num_classes=2,
+                             loss_decode=[
+                                 dict(type='OhemCrossEntropy', thres=0.9,
+                                      min_kept=64, loss_weight=1.0),
+                                 dict(type='OhemCrossEntropy', thres=0.9,
+                                      min_kept=64, loss_weight=0.4)]),
+            test_cfg=dict(mode='whole')),
+        train_dataloader=dict(batch_size=1, num_workers=1,
+                              sampler=dict(type='InfiniteSampler', shuffle=True),
+                              dataset=dict(ann_file='train.txt',
+                                           pipeline=pipeline, **dataset)),
+        val_dataloader=dict(batch_size=1, num_workers=1,
+                            sampler=dict(type='DefaultSampler'),
+                            dataset=dict(ann_file='val.txt',
+                                         pipeline=test_pipeline, **dataset)),
+        val_evaluator=dict(type='IoUMetric', iou_metrics=['mIoU']),
+        optim_wrapper=dict(type='OptimWrapper',
+                           optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
+                                          weight_decay=0.0005)),
+        param_scheduler=[dict(type='PolyLR', eta_min=0, power=0.9, begin=0,
+                              end=10, by_epoch=False)],
+        train_cfg=dict(type='IterBasedTrainLoop', max_iters=3, val_interval=0),
+        default_hooks=dict(logger=dict(interval=1),
+                           checkpoint=dict(interval=3)),
+        work_dir=str(work_dir)))
+
+
+def test_train_val_resume_cycle(pseudo_dataset, tmp_path):
+    work_dir = tmp_path / 'work'
+    cfg = _tiny_cfg(pseudo_dataset, work_dir)
+    runner = Runner(cfg, seed=0)
+    assert runner.n_devices == 8  # virtual CPU mesh active
+    state = runner.train()
+    assert int(state.step) == 3
+    # checkpoint written
+    assert (work_dir / 'iter_3').is_dir()
+
+    # val produces metrics
+    metrics = runner.val()
+    assert 'mIoU' in metrics and 'aAcc' in metrics
+    assert 0.0 <= metrics['aAcc'] <= 100.0
+
+    # resume continues from the checkpoint
+    cfg2 = _tiny_cfg(pseudo_dataset, work_dir)
+    cfg2['train_cfg']['max_iters'] = 5
+    runner2 = Runner(cfg2, seed=0)
+    runner2.init_state(sample_shape=(8, 32, 32, 3))
+    state2 = runner2.train(resume=True)
+    assert int(state2.step) == 5
+
+
+def test_lr_schedule_poly():
+    from lednet_tpu.engine.optim import build_lr_schedule
+    sched = build_lr_schedule([dict(type='PolyLR', eta_min=0, power=0.9,
+                                    begin=0, end=100)], 0.01)
+    assert abs(sched(0) - 0.01) < 1e-9
+    assert sched(50) < 0.01
+    assert abs(sched(100)) < 1e-9
