@@ -1,0 +1,4 @@
+from lednet_tpu.apis.inference import (inference_model, init_model,
+                                       show_result_pyplot)
+
+__all__ = ['init_model', 'inference_model', 'show_result_pyplot']

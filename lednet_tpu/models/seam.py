@@ -34,7 +34,7 @@ _FUSION = np.array([0.6, 0.3, 0.1], np.float32)
 
 def _laplacian_conv(x, stride: int):
     """Fixed-kernel 3x3 conv, NHWC single channel, padding 1."""
-    kernel = jnp.asarray(_LAPLACIAN).reshape(3, 3, 1, 1)
+    kernel = jnp.asarray(_LAPLACIAN, dtype=x.dtype).reshape(3, 3, 1, 1)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

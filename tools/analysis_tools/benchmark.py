@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""FPS benchmark harness — the reference's north-star measurement.
+
+Measurement semantics match the reference ``tools/analysis_tools/benchmark.py``
+exactly (``:37-122``): batch size 1, data preprocessing runs INSIDE the loop
+but BEFORE the timer, 5 warmup iterations skipped, 200 timed iterations,
+device-sync bracketed timing (``block_until_ready`` stands in for
+``torch.cuda.synchronize``), ``--repeat-times`` mean/variance, JSON output
+with the same keys (``overall_fps``, ``fps``).
+
+If the configured dataset isn't on disk, ``--synthetic HxW`` benchmarks on
+random data of that size (default 1280x720, the paper's FPS protocol).
+"""
+import argparse
+import json
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='TPU segmentor benchmark')
+    p.add_argument('config', help='config file path')
+    p.add_argument('checkpoint', nargs='?', default=None,
+                   help='checkpoint dir (optional: random init if absent)')
+    p.add_argument('--log-interval', type=int, default=50)
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--repeat-times', type=int, default=1)
+    p.add_argument('--num-iters', type=int, default=200)
+    p.add_argument('--num-warmup', type=int, default=5)
+    p.add_argument('--synthetic', default=None,
+                   help='HxW for synthetic input (e.g. 720x1280); used when '
+                        'the dataset is unavailable')
+    p.add_argument('--cfg-options', nargs='+', default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import lednet_tpu
+    from lednet_tpu.config import Config
+    from lednet_tpu.engine.runner import Runner
+    from lednet_tpu.engine.state import make_eval_step
+
+    lednet_tpu.register_all_modules()
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(dict(kv.split('=', 1) for kv in args.cfg_options))
+
+    runner = Runner(cfg, work_dir=args.work_dir or './work_dirs/benchmark')
+    if args.checkpoint:
+        runner.load(args.checkpoint)
+    else:
+        runner.init_state()
+    eval_step = make_eval_step(runner.model, runner.preprocessor,
+                               mode=runner.test_mode)
+
+    # data source: dataset batches if available, else synthetic frames
+    def synthetic_frames(hw):
+        h, w = hw
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, (1, h, w, 3), np.uint8)
+        while True:
+            yield frame
+
+    frames = None
+    if args.synthetic:
+        h, w = (int(v) for v in args.synthetic.split('x'))
+        frames = synthetic_frames((h, w))
+    else:
+        try:
+            from lednet_tpu.datasets.loader import build_dataloader
+            loader = build_dataloader(dict(cfg.test_dataloader),
+                                      default_batch_size=1)
+            if len(loader.dataset) == 0:
+                raise FileNotFoundError
+            frames = ({'inputs'} and (b['inputs'] for b in loader))
+        except Exception:
+            print('dataset unavailable; falling back to synthetic 720x1280')
+            frames = synthetic_frames((720, 1280))
+
+    benchmark_dict = dict(config=args.config, unit='img / s')
+    overall_fps_list = []
+    for rep in range(args.repeat_times):
+        num_iters = 0
+        pure_inf_time = 0.0
+        for i in range(args.num_iters + args.num_warmup):
+            frame = next(frames) if not isinstance(frames, list) else frames[i]
+            inputs = jnp.asarray(np.asarray(frame))
+            jax.block_until_ready(inputs)   # H2D done before the timer
+            start_time = time.perf_counter()
+            logits = eval_step(runner.state, inputs)
+            jax.block_until_ready(logits)
+            elapsed = time.perf_counter() - start_time
+            if i >= args.num_warmup:
+                pure_inf_time += elapsed
+                num_iters += 1
+                if (i + 1) % args.log_interval == 0:
+                    print(f'Done image [{i + 1:<3}/ {args.num_iters}], '
+                          f'fps: {num_iters / pure_inf_time:.2f} img / s')
+        fps = num_iters / pure_inf_time
+        print(f'Overall fps: {fps:.2f} img / s\n')
+        benchmark_dict[f'overall_fps_{rep + 1}'] = round(fps, 2)
+        overall_fps_list.append(fps)
+    benchmark_dict['average_fps'] = round(float(np.mean(overall_fps_list)), 2)
+    benchmark_dict['fps_variance'] = round(float(np.var(overall_fps_list)), 4)
+    print(json.dumps(benchmark_dict, indent=2))
+    if args.work_dir:
+        with open(osp.join(args.work_dir, 'benchmark.json'), 'w') as f:
+            json.dump(benchmark_dict, f)
+    return benchmark_dict
+
+
+if __name__ == '__main__':
+    main()
