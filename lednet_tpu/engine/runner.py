@@ -97,7 +97,13 @@ class Runner:
             if it > start:
                 batch = next(data_iter)
             inputs = shard_batch(jnp.asarray(batch['inputs']), self.mesh)
-            labels = shard_batch(jnp.asarray(batch['gt_seg_map']), self.mesh)
+            if 'gt_edge_map' in batch:
+                labels = shard_batch(
+                    dict(gt_seg_map=jnp.asarray(batch['gt_seg_map']),
+                         gt_edge_map=jnp.asarray(batch['gt_edge_map'])),
+                    self.mesh)
+            else:
+                labels = shard_batch(jnp.asarray(batch['gt_seg_map']), self.mesh)
             self.state, logs = train_step(self.state, inputs, labels)
 
             step = it + 1

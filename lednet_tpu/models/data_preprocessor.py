@@ -74,7 +74,14 @@ class SegDataPreProcessor:
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
                         constant_values=self.pad_val)
-            if seg_label is not None:
+            if isinstance(seg_label, dict):
+                padded = {}
+                for k, v in seg_label.items():
+                    fill = self.seg_pad_val if k == 'gt_seg_map' else 0
+                    padded[k] = jnp.pad(v, ((0, 0), (0, pad_h), (0, pad_w)),
+                                        constant_values=fill)
+                seg_label = padded
+            elif seg_label is not None:
                 seg_label = jnp.pad(seg_label,
                                     ((0, 0), (0, pad_h), (0, pad_w)),
                                     constant_values=self.seg_pad_val)

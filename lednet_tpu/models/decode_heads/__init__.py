@@ -1,4 +1,5 @@
 from lednet_tpu.models.decode_heads.fcn_head import FCNHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
+from lednet_tpu.models.decode_heads.pid_head import PIDHead
 
-__all__ = ['FCNHead', 'DDRHead', 'LEDHead']
+__all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead']

@@ -78,11 +78,20 @@ def resolve_out_channels(num_classes: int, out_channels: Optional[int],
     return out_channels, threshold
 
 
+def sem_label(seg_label):
+    """Labels may arrive as a dict carrying auxiliary maps (gt_edge_map for
+    PIDNet/STDC); plain heads use the semantic map."""
+    if isinstance(seg_label, dict):
+        return seg_label['gt_seg_map']
+    return seg_label
+
+
 def default_loss_by_feat(seg_logits, seg_label, losses, align_corners: bool,
                          ignore_index: int) -> Dict[str, jnp.ndarray]:
     """Single-tensor-head loss path (reference ``loss_by_feat``,
     ``decode_head.py:292-339``): resize logits to the label, run every
     configured loss (accumulating same-named ones), add ``acc_seg``."""
+    seg_label = sem_label(seg_label)
     seg_logits = resize_bilinear(seg_logits, seg_label.shape[-2:], align_corners)
     out: Dict[str, jnp.ndarray] = {}
     for loss_fn in losses:

@@ -112,6 +112,8 @@ class LEDHead(nn.Module):
         return resize_bilinear(logit, size, self.align_corners)
 
     def loss_by_feat(self, seg_logits: Tuple, seg_label) -> Dict:
+        from lednet_tpu.models.decode_heads.base import sem_label
+        seg_label = sem_label(seg_label)
         context_logit, spatial_logit, head_x1, head_x2 = seg_logits
         size = seg_label.shape[-2:]
         losses = build_losses(self.loss_decode)
@@ -188,6 +190,8 @@ class DDRHead(nn.Module):
         return x_c
 
     def loss_by_feat(self, seg_logits, seg_label) -> Dict:
+        from lednet_tpu.models.decode_heads.base import sem_label
+        seg_label = sem_label(seg_label)
         context_logit, spatial_logit = seg_logits
         size = seg_label.shape[-2:]
         losses = build_losses(self.loss_decode)
