@@ -1,5 +1,6 @@
 from lednet_tpu.models.decode_heads.fcn_head import FCNHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
 from lednet_tpu.models.decode_heads.pid_head import PIDHead
+from lednet_tpu.models.decode_heads.stdc_head import STDCHead
 
-__all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead']
+__all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead']

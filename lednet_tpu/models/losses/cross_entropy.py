@@ -80,17 +80,26 @@ class CrossEntropyLoss:
         return self.loss_weight * jnp.sum(pix) / jnp.maximum(denom, 1)
 
     def _binary(self, logits, labels, weight, ignore_index):
-        if logits.shape[-1] == 1:
-            logits = logits[..., 0]
         valid = (labels != ignore_index)
-        target = jnp.where(valid, labels, 0).astype(jnp.float32)
         x = logits.astype(jnp.float32)
+        if logits.ndim == 4 and logits.shape[-1] > 1:
+            # mmseg expands int labels to C-channel one-hot for sigmoid CE
+            target = jax.nn.one_hot(jnp.where(valid, labels, 0),
+                                    logits.shape[-1], dtype=jnp.float32)
+            mask = valid[..., None]
+            n_elems = labels.size * logits.shape[-1]
+        else:
+            if logits.ndim == 4:
+                x = x[..., 0]
+            target = jnp.where(valid, labels, 0).astype(jnp.float32)
+            mask = valid
+            n_elems = labels.size
         # numerically-stable BCE-with-logits
         loss = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
-        loss = jnp.where(valid, loss, 0.0)
+        loss = jnp.where(mask, loss, 0.0)
         if weight is not None:
             loss = loss * weight
-        denom = jnp.sum(valid) if self.avg_non_ignore else labels.size
+        denom = jnp.sum(mask) if self.avg_non_ignore else n_elems
         return self.loss_weight * jnp.sum(loss) / jnp.maximum(denom, 1)
 
 

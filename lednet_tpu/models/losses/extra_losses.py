@@ -80,12 +80,26 @@ class DiceLoss:
                     jnp.sum(one_hot ** 2, axis=dims)
             dice = (num + self.eps) / (den + self.eps)
             return self.loss_weight * jnp.mean(1 - dice)
-        # binary path
+        # sigmoid path (1 or C channels: C>1 uses one-hot targets, mmseg-style)
+        valid = (target != ignore)
+        if pred.ndim == 4 and pred.shape[-1] > 1:
+            if self.activate and self.use_sigmoid:
+                pred = jax.nn.sigmoid(pred)
+            t = jax.nn.one_hot(jnp.where(valid, target, 0), pred.shape[-1])
+            t = t * valid[..., None]
+            p = pred * valid[..., None]
+            dims = tuple(range(1, p.ndim - 1))
+            num = 2 * jnp.sum(p * t, axis=dims)
+            if self.naive_dice:
+                den = jnp.sum(p, axis=dims) + jnp.sum(t, axis=dims)
+            else:
+                den = jnp.sum(p ** 2, axis=dims) + jnp.sum(t ** 2, axis=dims)
+            dice = (num + self.eps) / (den + self.eps)
+            return self.loss_weight * jnp.mean(1 - dice)
         if pred.ndim == 4:
             pred = pred[..., 0]
         if self.activate and self.use_sigmoid:
             pred = jax.nn.sigmoid(pred)
-        valid = (target != ignore)
         t = jnp.where(valid, target, 0).astype(jnp.float32)
         p = pred * valid
         dims = tuple(range(1, p.ndim))
