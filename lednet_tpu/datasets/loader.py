@@ -61,6 +61,14 @@ def collate(items: List[Dict]) -> Dict[str, Any]:
     """Stack same-shaped samples; keep metas as a list. Variable-size test
     samples (bs=1) stack trivially."""
     batch: Dict[str, Any] = {}
+    if 'tta_views' in items[0]:
+        # TTA: bs=1, views carry their own inputs/metas
+        assert len(items) == 1, 'TTA requires batch_size=1'
+        views = items[0]['tta_views']
+        return dict(tta_views=views,
+                    metainfo=[views[0]['metainfo']] if views else [{}],
+                    gt_seg_map=(np.stack([views[0]['gt_seg_map']])
+                                if 'gt_seg_map' in views[0] else None))
     batch['inputs'] = np.stack([it['inputs'] for it in items])
     if 'gt_seg_map' in items[0]:
         batch['gt_seg_map'] = np.stack([it['gt_seg_map'] for it in items])

@@ -1,4 +1,5 @@
 from lednet_tpu.datasets.transforms.formatting import PackSegInputs
+from lednet_tpu.datasets.transforms.tta import TestTimeAug
 from lednet_tpu.datasets.transforms.loading import (LoadAnnotations,
                                                     LoadImageFromFile,
                                                     LoadImageFromNDArray)

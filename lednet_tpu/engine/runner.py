@@ -143,21 +143,38 @@ class Runner:
         out_channels = head_cfg.get('out_channels')
         threshold = head_cfg.get('threshold', 0.3) or 0.3
 
-        for batch in loader:
-            inputs = jnp.asarray(batch['inputs'])
-            # pad to /32 so XLA shape-caches across aspect ratios
+        def predict_one(inputs, meta, flip=False, flip_direction='horizontal'):
+            """Jitted forward + postprocess to the original image frame."""
             pad_h = (-inputs.shape[1]) % 32
             pad_w = (-inputs.shape[2]) % 32
             if pad_h or pad_w:
-                inputs = jnp.pad(inputs, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+                inputs = jnp.pad(inputs,
+                                 ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             logits = eval_step(self.state, inputs)
-            meta = batch['metainfo'][0]
             extra_h = logits.shape[1] - (inputs.shape[1] - pad_h)
             extra_w = logits.shape[2] - (inputs.shape[2] - pad_w)
-            _, pred = postprocess_logits(
+            return postprocess_logits(
                 logits, (extra_h, extra_w),
                 ori_shape=tuple(meta.get('ori_shape') or ()) or None,
+                flip=flip, flip_direction=flip_direction,
                 out_channels=out_channels, threshold=threshold)
+
+        for batch in loader:
+            if 'tta_views' in batch:
+                from lednet_tpu.models.segmentors.seg_tta import merge_tta_probs
+                view_logits = []
+                for view in batch['tta_views']:
+                    meta = view['metainfo']
+                    logits, _ = predict_one(
+                        jnp.asarray(view['inputs'])[None], meta,
+                        flip=bool(meta.get('flip')),
+                        flip_direction=meta.get('flip_direction') or 'horizontal')
+                    view_logits.append(logits[0])
+                _, pred = merge_tta_probs(view_logits, out_channels, threshold)
+                pred = pred[None]
+            else:
+                _, pred = predict_one(jnp.asarray(batch['inputs']),
+                                      batch['metainfo'][0])
             metric.process(pred, jnp.asarray(batch['gt_seg_map']), num_classes)
         results = metric.compute_metrics()
         print(metric.table(), flush=True)

@@ -52,6 +52,22 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _dual_losses(loss_decode):
+    """LED/DDR heads need (context, spatial) losses; default to the config
+    contract's OHEM pair (weights 1.0 / 0.4) when unset."""
+    if loss_decode is None:
+        loss_decode = [
+            dict(type='OhemCrossEntropy', thres=0.9, min_kept=131072,
+                 loss_weight=1.0),
+            dict(type='OhemCrossEntropy', thres=0.9, min_kept=131072,
+                 loss_weight=0.4),
+        ]
+    losses = build_losses(loss_decode)
+    if len(losses) == 1:
+        losses = losses * 2
+    return losses
+
+
 @MODELS.register_module()
 class LEDHead(nn.Module):
     in_channels: int
@@ -116,7 +132,7 @@ class LEDHead(nn.Module):
         seg_label = sem_label(seg_label)
         context_logit, spatial_logit, head_x1, head_x2 = seg_logits
         size = seg_label.shape[-2:]
-        losses = build_losses(self.loss_decode)
+        losses = _dual_losses(self.loss_decode)
         # training uses exact // sizes (labels are crops of even size)
         quarter = (size[0] // 4, size[1] // 4)
         half = (size[0] // 2, size[1] // 2)
@@ -194,7 +210,7 @@ class DDRHead(nn.Module):
         seg_label = sem_label(seg_label)
         context_logit, spatial_logit = seg_logits
         size = seg_label.shape[-2:]
-        losses = build_losses(self.loss_decode)
+        losses = _dual_losses(self.loss_decode)
         ctx = resize_bilinear(context_logit, size, self.align_corners)
         spa = resize_bilinear(spatial_logit, size, self.align_corners)
         return {

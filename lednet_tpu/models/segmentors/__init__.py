@@ -1,4 +1,6 @@
 from lednet_tpu.models.segmentors.encoder_decoder import (EncoderDecoder,
                                                           postprocess_logits)
+from lednet_tpu.models.segmentors.seg_tta import SegTTAModel, merge_tta_probs
 
-__all__ = ['EncoderDecoder', 'postprocess_logits']
+__all__ = ['EncoderDecoder', 'postprocess_logits', 'SegTTAModel',
+           'merge_tta_probs']

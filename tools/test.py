@@ -30,6 +30,10 @@ def main():
         cfg.merge_from_dict(dict(kv.split('=', 1) for kv in args.cfg_options))
     work_dir = args.work_dir or osp.join(
         './work_dirs', osp.splitext(osp.basename(args.config))[0])
+    if args.tta:
+        # swap the test pipeline for the TTA pipeline (reference
+        # tools/test.py:120-123)
+        cfg['test_dataloader']['dataset']['pipeline'] = cfg['tta_pipeline']
     runner = Runner(cfg, work_dir=work_dir)
     metrics = runner.test(args.checkpoint)
     print(json.dumps(metrics))
