@@ -1,6 +1,12 @@
 from lednet_tpu.models.decode_heads.fcn_head import FCNHead
+from lednet_tpu.models.decode_heads.ham_head import LightHamHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
 from lednet_tpu.models.decode_heads.pid_head import PIDHead
+from lednet_tpu.models.decode_heads.psp_aspp import (ASPPHead,
+                                                     DepthwiseSeparableASPPHead,
+                                                     PSPHead, SegformerHead)
 from lednet_tpu.models.decode_heads.stdc_head import STDCHead
 
-__all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead']
+__all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
+           'ASPPHead', 'DepthwiseSeparableASPPHead', 'SegformerHead',
+           'LightHamHead']

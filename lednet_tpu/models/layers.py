@@ -92,7 +92,11 @@ class Norm2d(nn.Module):
                 epsilon=cfg.get('eps', 1e-5),
                 name='bn')(x)
         if norm_type == 'GN':
-            return nn.GroupNorm(num_groups=cfg.get('num_groups', 32),
+            groups = cfg.get('num_groups', 32)
+            channels = x.shape[-1]
+            while channels % groups:
+                groups //= 2  # clamp to a divisor for narrow test widths
+            return nn.GroupNorm(num_groups=max(groups, 1),
                                 epsilon=cfg.get('eps', 1e-5), name='gn')(x)
         if norm_type == 'LN':
             return nn.LayerNorm(epsilon=cfg.get('eps', 1e-5), name='ln')(x)
