@@ -1,0 +1,71 @@
+# STDC1 on Cityscapes (reference configs/stdc semantics: FCN decode head on
+# the fused feature, FCN aux heads on the ARM taps, STDCHead detail loss)
+_base_ = [
+    '../_base_/datasets/cityscapes_1024x1024.py',
+    '../_base_/default_runtime.py',
+    '../_base_/schedules/schedule_80k.py',
+]
+crop_size = (512, 1024)
+data_preprocessor = dict(
+    type='SegDataPreProcessor',
+    mean=[123.675, 116.28, 103.53],
+    std=[58.395, 57.12, 57.375],
+    bgr_to_rgb=True,
+    pad_val=0,
+    seg_pad_val=255,
+    size=crop_size)
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    data_preprocessor=data_preprocessor,
+    backbone=dict(
+        type='STDCContextPathNet',
+        backbone_cfg=dict(
+            type='STDCNet',
+            stdc_type='STDCNet1',
+            in_channels=3,
+            channels=(32, 64, 256, 512, 1024),
+            bottleneck_type='cat',
+            num_convs=4,
+            norm_cfg=norm_cfg,
+            act_cfg=dict(type='ReLU'),
+            with_final_conv=False),
+        last_in_channels=(1024, 512),
+        out_channels=128,
+        ffm_cfg=dict(in_channels=384, out_channels=256, scale_factor=4)),
+    decode_head=dict(
+        type='FCNHead', in_channels=256, channels=256, num_convs=1,
+        num_classes=19, in_index=3, concat_input=False, dropout_ratio=0.1,
+        norm_cfg=norm_cfg, align_corners=True,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    auxiliary_head=[
+        dict(type='FCNHead', in_channels=128, channels=64, num_convs=1,
+             num_classes=19, in_index=2, norm_cfg=norm_cfg,
+             concat_input=False, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                              loss_weight=1.0)),
+        dict(type='FCNHead', in_channels=128, channels=64, num_convs=1,
+             num_classes=19, in_index=1, norm_cfg=norm_cfg,
+             concat_input=False, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                              loss_weight=1.0)),
+        dict(type='STDCHead', in_channels=256, channels=64, num_convs=1,
+             num_classes=2, boundary_threshold=0.1, in_index=0,
+             norm_cfg=norm_cfg, concat_input=False, align_corners=True,
+             loss_decode=[
+                 dict(type='CrossEntropyLoss', loss_name='loss_ce',
+                      use_sigmoid=True, loss_weight=1.0),
+                 dict(type='DiceLoss', loss_name='loss_dice',
+                      loss_weight=1.0)]),
+    ],
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))
+
+iters = 80000
+param_scheduler = [
+    dict(type='PolyLR', eta_min=1e-4, power=0.9, begin=0, end=iters,
+         by_epoch=False)
+]
+train_cfg = dict(max_iters=iters, val_interval=1000)
+train_dataloader = dict(batch_size=12, num_workers=4)

@@ -1,3 +1,5 @@
+from lednet_tpu.models.segmentors.cascade_encoder_decoder import \
+    CascadeEncoderDecoder
 from lednet_tpu.models.segmentors.encoder_decoder import (EncoderDecoder,
                                                           postprocess_logits)
 from lednet_tpu.models.segmentors.seg_tta import SegTTAModel, merge_tta_probs
