@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Single-image inference demo (CLI mirrors the reference
 ``demo/image_demo.py``: img, config, checkpoint, --out-file, --opacity)."""
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+
 from argparse import ArgumentParser
 
 

@@ -2,6 +2,11 @@
 """Streaming video inference demo (CLI mirrors the reference
 ``demo/video_demo.py``: capture loop -> per-frame inference -> blend ->
 show/write)."""
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+
 from argparse import ArgumentParser
 
 import cv2

@@ -5,6 +5,11 @@ Reference analogue: ``tools/analysis_tools/analyze_logs.py`` — reads the
 json-lines scalar log (our ``work_dir/vis_data/scalars.json``) and either
 plots curves or reports iteration-time statistics.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import json
 

@@ -11,6 +11,11 @@ with the same keys (``overall_fps``, ``fps``).
 If the configured dataset isn't on disk, ``--synthetic HxW`` benchmarks on
 random data of that size (default 1280x720, the paper's FPS protocol).
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import json
 import os.path as osp

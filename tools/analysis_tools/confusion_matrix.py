@@ -5,6 +5,11 @@ Reference analogue: ``tools/analysis_tools/confusion_matrix.py`` (pkl results
 -> matrix -> matplotlib plot). Here the matrix is computed on device during a
 test pass (no intermediate pkl needed) and optionally plotted.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import json
 import os

@@ -6,6 +6,11 @@ complexity info; fork default shape 1280x720 at ``:37-38``). Here the FLOP
 count comes from the compiled HLO's cost analysis — the number XLA actually
 schedules, not a per-module estimate.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 
 

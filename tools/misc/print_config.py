@@ -1,5 +1,10 @@
 #!/usr/bin/env python
 """Print the fully-merged config (reference ``tools/misc/print_config.py``)."""
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import pprint
 

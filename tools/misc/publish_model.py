@@ -5,6 +5,11 @@ Reference analogue: ``tools/misc/publish_model.py`` (drop optimizer state,
 append a content hash to the filename). Our checkpoints are orbax
 directories; the published copy keeps only params/batch_stats + meta.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import hashlib
 import os

@@ -14,6 +14,11 @@ incl. the inverse ``vitjax2mmseg.py``). Supports the dual-branch family
    prescribes for reconstructing the withheld backbone against
    ``iter_80000.pth``.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
 import argparse
 import re
 

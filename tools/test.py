@@ -1,5 +1,10 @@
 #!/usr/bin/env python
 """Evaluation entry point (CLI mirrors the reference ``tools/test.py``)."""
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+
 import argparse
 import json
 import os.path as osp

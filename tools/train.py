@@ -6,6 +6,11 @@ CLI mirrors the reference ``tools/train.py`` (config positional, --work-dir,
 SPMD Runner (lednet_tpu/engine/runner.py); DDP launcher flags are accepted
 but ignored — parallelism is the jax device mesh, not process ranks.
 """
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+
 import argparse
 import os
 import os.path as osp
