@@ -1,0 +1,236 @@
+"""The wider dataset registry (reference ``mmseg/datasets/*.py`` — 27 dataset
+classes; each is METAINFO + suffix conventions over BaseSegDataset)."""
+from __future__ import annotations
+
+from lednet_tpu.datasets.basesegdataset import BaseSegDataset
+from lednet_tpu.registry import DATASETS
+
+
+def _gray_palette(n):
+    return [[i, i, i] for i in range(n)]
+
+
+@DATASETS.register_module()
+class COCOStuffDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(171)),
+                    palette=_gray_palette(171))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='_labelTrainIds.png',
+                 **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class PascalContextDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(60)),
+                    palette=_gray_palette(60))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class LoveDADataset(BaseSegDataset):
+    METAINFO = dict(
+        classes=('background', 'building', 'road', 'water', 'barren',
+                 'forest', 'agricultural'),
+        palette=[[255, 255, 255], [255, 0, 0], [255, 255, 0], [0, 0, 255],
+                 [159, 129, 183], [0, 255, 0], [255, 195, 128]])
+
+    def __init__(self, img_suffix='.png', seg_map_suffix='.png',
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASETS.register_module()
+class PotsdamDataset(BaseSegDataset):
+    METAINFO = dict(
+        classes=('impervious_surface', 'building', 'low_vegetation', 'tree',
+                 'car', 'clutter'),
+        palette=[[255, 255, 255], [0, 0, 255], [0, 255, 255], [0, 255, 0],
+                 [255, 255, 0], [255, 0, 0]])
+
+    def __init__(self, img_suffix='.png', seg_map_suffix='.png',
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASETS.register_module()
+class VaihingenDataset(PotsdamDataset):
+    pass
+
+
+@DATASETS.register_module()
+class ISPRSDataset(PotsdamDataset):
+    pass
+
+
+@DATASETS.register_module()
+class iSAIDDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(16)),
+                    palette=_gray_palette(16))
+
+    def __init__(self, img_suffix='.png',
+                 seg_map_suffix='_instance_color_RGB.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class MapillaryDataset_v1(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(66)),
+                    palette=_gray_palette(66))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class BDD100KDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
+                    palette=_gray_palette(19))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class LIPDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(20)),
+                    palette=_gray_palette(20))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class DarkZurichDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
+                    palette=_gray_palette(19))
+
+    def __init__(self, img_suffix='_rgb_anon.png',
+                 seg_map_suffix='_gt_labelTrainIds.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class NightDrivingDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
+                    palette=_gray_palette(19))
+
+    def __init__(self, img_suffix='_leftImg8bit.png',
+                 seg_map_suffix='_gtCoarse_labelTrainIds.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+class _RetinaDataset(BaseSegDataset):
+    METAINFO = dict(classes=('background', 'vessel'),
+                    palette=[[120, 120, 120], [6, 230, 230]])
+
+    def __init__(self, img_suffix='.png', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class DRIVEDataset(_RetinaDataset):
+    def __init__(self, img_suffix='.png',
+                 seg_map_suffix='_manual1.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class STAREDataset(_RetinaDataset):
+    def __init__(self, img_suffix='.png', seg_map_suffix='.ah.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class ChaseDB1Dataset(_RetinaDataset):
+    def __init__(self, img_suffix='.png', seg_map_suffix='_1stHO.png',
+                 **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class HRFDataset(_RetinaDataset):
+    pass
+
+
+@DATASETS.register_module()
+class SynapseDataset(BaseSegDataset):
+    METAINFO = dict(classes=tuple(f'organ_{i}' for i in range(9)),
+                    palette=_gray_palette(9))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class REFUGEDataset(BaseSegDataset):
+    METAINFO = dict(classes=('background', 'disc', 'cup'),
+                    palette=_gray_palette(3))
+
+    def __init__(self, img_suffix='.png', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class LEVIRCDDataset(BaseSegDataset):
+    METAINFO = dict(classes=('unchanged', 'changed'),
+                    palette=[[0, 0, 0], [255, 255, 255]])
+
+    def __init__(self, img_suffix='.png', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class NYUDataset(BaseSegDataset):
+    """Depth-estimation layout (reference ``mmseg/datasets/nyu.py``)."""
+    METAINFO = dict(classes=('depth',), palette=[[0, 0, 0]])
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class MultiImageMixDataset:
+    """Wrapper enabling mix-style transforms (reference
+    ``mmseg/datasets/dataset_wrappers.py:12``)."""
+
+    def __init__(self, dataset, pipeline, skip_type_keys=None, **kwargs):
+        from lednet_tpu.datasets.basesegdataset import Compose
+        from lednet_tpu.registry import DATASETS as _D
+        self.dataset = _D.build(dict(dataset)) if isinstance(dataset, dict) \
+            else dataset
+        self.pipeline = Compose(pipeline)
+
+    @property
+    def metainfo(self):
+        return self.dataset.metainfo
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        results = self.dataset.get_data_info(idx)
+        results['dataset'] = self.dataset
+        out = self.pipeline(results)
+        out.pop('dataset', None)
+        return out

@@ -159,6 +159,13 @@ class Runner:
                 flip=flip, flip_direction=flip_direction,
                 out_channels=out_channels, threshold=threshold)
 
+        # SegVisualizationHook analogue: dump the first N prediction overlays
+        vis_cfg = (self.cfg.get('default_hooks') or {}).get('visualization') or {}
+        vis_draw = bool(vis_cfg.get('draw', False))
+        vis_max = vis_cfg.get('max_samples', 8)
+        vis_count = 0
+        vis_dir = osp.join(self.work_dir, 'vis_data', 'vis_image')
+
         for batch in loader:
             if 'tta_views' in batch:
                 from lednet_tpu.models.segmentors.seg_tta import merge_tta_probs
@@ -176,6 +183,21 @@ class Runner:
                 _, pred = predict_one(jnp.asarray(batch['inputs']),
                                       batch['metainfo'][0])
             metric.process(pred, jnp.asarray(batch['gt_seg_map']), num_classes)
+            if vis_draw and vis_count < vis_max and 'inputs' in batch:
+                from lednet_tpu.visualization import SegLocalVisualizer
+                os.makedirs(vis_dir, exist_ok=True)
+                import cv2
+                vis = SegLocalVisualizer()
+                img = np.asarray(batch['inputs'][0])
+                pred_np = np.asarray(pred[0]).astype(np.uint8)
+                if pred_np.shape != img.shape[:2]:  # pred is at ori_shape
+                    pred_np = cv2.resize(pred_np, (img.shape[1], img.shape[0]),
+                                         interpolation=cv2.INTER_NEAREST)
+                drawn = vis.draw_sem_seg(img, pred_np,
+                                         metainfo.get('classes'),
+                                         metainfo.get('palette'))
+                cv2.imwrite(osp.join(vis_dir, f'val_{vis_count}.png'), drawn)
+                vis_count += 1
         results = metric.compute_metrics()
         print(metric.table(), flush=True)
         return results
