@@ -12,3 +12,4 @@ from lednet_tpu.datasets.transforms.transforms import (CLAHE, AdjustGamma,
                                                        Resize,
                                                        ResizeToMultiple,
                                                        RGB2Gray, SegRescale)
+from lednet_tpu.datasets.transforms.fused import FusedRandomResizeCropFlip
