@@ -14,8 +14,11 @@ from lednet_tpu.models.backbones.pidnet import PIDNet
 from lednet_tpu.models.backbones.resnet import ResNet, ResNetV1c, ResNetV1d
 from lednet_tpu.models.backbones.stdc import (STDCContextPathNet, STDCModule,
                                               STDCNet)
+from lednet_tpu.models.backbones.unet import UNet
+from lednet_tpu.models.backbones.vit import SwinTransformer, VisionTransformer
 
 __all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'ERFNet', 'FastSCNN',
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
-           'ResNetV1d', 'STDCContextPathNet', 'STDCModule', 'STDCNet']
+           'ResNetV1d', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'UNet',
+           'SwinTransformer', 'VisionTransformer']

@@ -1,0 +1,226 @@
+"""Vision Transformer backbone.
+
+Behavioral spec: reference ``mmseg/models/backbones/vit.py`` — patch embed
+(16x16 conv), learned position embedding (bilinearly resized for new grids),
+pre-LN transformer blocks, selected ``out_indices`` reshaped back to NHWC
+grids, optional final LN. Also covers the MAE/BEiT-style usage surface (same
+ctor keys accepted).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.registry import MODELS
+
+
+class _MHSA(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        hd = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name='qkv')(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        return nn.Dense(C, name='proj')(out.reshape(B, N, C))
+
+
+@MODELS.register_module()
+class VisionTransformer(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    in_channels: int = 3
+    embed_dims: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    out_indices: Sequence[int] = (2, 5, 8, 11)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    with_cls_token: bool = True
+    output_cls_token: bool = False
+    final_norm: bool = False
+    interpolate_mode: str = 'bicubic'
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+    patch_norm: bool = False
+    pre_norm: bool = False
+    norm_eval: bool = False
+    with_cp: bool = False
+    frozen_exclude: Sequence[str] = ()
+    pretrained: Optional[str] = None
+    init_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        p = self.patch_size
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
+                    name='patch_embed')(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, self.embed_dims)
+
+        n_base = (self.img_size // p)
+        pos = self.param('pos_embed', nn.initializers.truncated_normal(0.02),
+                         (1, n_base * n_base + (1 if self.with_cls_token else 0),
+                          self.embed_dims), jnp.float32)
+        if self.with_cls_token:
+            cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+        else:
+            cls_pos, grid_pos = None, pos
+        grid_pos = grid_pos.reshape(1, n_base, n_base, self.embed_dims)
+        if (gh, gw) != (n_base, n_base):
+            grid_pos = resize_bilinear(grid_pos, (gh, gw), False)
+        grid_pos = grid_pos.reshape(1, gh * gw, self.embed_dims)
+
+        if self.with_cls_token:
+            cls = self.param('cls_token', nn.initializers.zeros,
+                             (1, 1, self.embed_dims), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (B, 1, self.embed_dims)).astype(x.dtype),
+                 x], axis=1)
+            x = x + jnp.concatenate([cls_pos, grid_pos], axis=1).astype(x.dtype)
+        else:
+            x = x + grid_pos.astype(x.dtype)
+
+        outs = []
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(name=f'b{i}_norm1')(x)
+            x = x + _MHSA(self.embed_dims, self.num_heads, self.qkv_bias,
+                          name=f'b{i}_attn')(h)
+            h = nn.LayerNorm(name=f'b{i}_norm2')(x)
+            m = nn.Dense(self.embed_dims * self.mlp_ratio,
+                         name=f'b{i}_fc1')(h)
+            m = nn.gelu(m)
+            x = x + nn.Dense(self.embed_dims, name=f'b{i}_fc2')(m)
+            if i in self.out_indices:
+                out = x[:, 1:] if self.with_cls_token else x
+                outs.append(out.reshape(B, gh, gw, self.embed_dims))
+        if self.final_norm and outs:
+            outs[-1] = nn.LayerNorm(name='final_norm')(outs[-1])
+        return tuple(outs)
+
+
+MODELS.register_module(name='VIT', module=VisionTransformer)
+
+
+@MODELS.register_module()
+class SwinTransformer(nn.Module):
+    """Swin backbone (reference ``mmseg/models/backbones/swin.py``):
+    4x4 patch embed, stages of windowed MSA blocks alternating regular and
+    shifted windows, patch-merging downsampling, per-stage LN outputs."""
+    pretrain_img_size: int = 224
+    in_channels: int = 3
+    embed_dims: int = 96
+    patch_size: int = 4
+    window_size: int = 7
+    mlp_ratio: int = 4
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    strides: Sequence[int] = (4, 2, 2, 2)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    patch_norm: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    use_abs_pos_embed: bool = False
+    act_cfg: Optional[Dict] = None
+    norm_cfg: Optional[Dict] = None
+    pretrained: Optional[str] = None
+    frozen_stages: int = -1
+    init_cfg: Optional[Dict] = None
+    with_cp: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from lednet_tpu.models.getb import _relative_position_index, _reflect_pad
+        B = x.shape[0]
+        p = self.patch_size
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
+                    name='patch_embed')(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(name='patch_norm')(x)
+
+        ws = self.window_size
+        outs = []
+        dim = self.embed_dims
+        for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            for b in range(depth):
+                shift = (ws // 2) if b % 2 == 1 else 0
+                x = self._block(x, dim, heads, ws, shift, train,
+                                name_prefix=f's{s}_b{b}')
+            outs.append(nn.LayerNorm(name=f'out_norm{s}')(x))
+            if s < len(self.depths) - 1:
+                # patch merging: 2x2 neighborhood concat + linear reduce
+                B_, H, W, C = x.shape
+                pad_h, pad_w = H % 2, W % 2
+                if pad_h or pad_w:
+                    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+                    H, W = H + pad_h, W + pad_w
+                x = x.reshape(B_, H // 2, 2, W // 2, 2, C)
+                x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B_, H // 2, W // 2,
+                                                          4 * C)
+                x = nn.LayerNorm(name=f'merge_norm{s}')(x)
+                x = nn.Dense(2 * C, use_bias=False, name=f'merge{s}')(x)
+                dim *= 2
+        return tuple(outs[i] for i in self.out_indices)
+
+    def _block(self, x, dim, heads, ws, shift, train, name_prefix):
+        import numpy as np
+        from lednet_tpu.models.getb import _relative_position_index
+        B, H, W, C = x.shape
+        h = nn.LayerNorm(name=f'{name_prefix}_norm1')(x)
+        if shift:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+        pad_h = (-H) % ws
+        pad_w = (-W) % ws
+        if pad_h or pad_w:
+            h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+        nh, nw = Hp // ws, Wp // ws
+        hd = C // heads
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                       name=f'{name_prefix}_qkv')(h)
+        qkv = qkv.reshape(B, nh, ws, nw, ws, 3, heads, hd)
+        qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7).reshape(
+            3, B * nh * nw, heads, ws * ws, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+        table = self.param(f'{name_prefix}_rel_bias',
+                           nn.initializers.truncated_normal(0.02),
+                           ((2 * ws - 1) ** 2, heads), jnp.float32)
+        idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
+        bias = jnp.take(table, idx, axis=0).reshape(ws * ws, ws * ws, heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(B, nh, nw, heads, ws, ws, hd)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, Hp, Wp, C)
+        out = out[:, :H, :W, :]
+        if shift:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        out = nn.Dense(C, name=f'{name_prefix}_proj')(out)
+        x = x + out
+        h = nn.LayerNorm(name=f'{name_prefix}_norm2')(x)
+        m = nn.Dense(C * self.mlp_ratio, name=f'{name_prefix}_fc1')(h)
+        m = nn.gelu(m)
+        return x + nn.Dense(C, name=f'{name_prefix}_fc2')(m)

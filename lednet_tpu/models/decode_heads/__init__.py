@@ -6,7 +6,11 @@ from lednet_tpu.models.decode_heads.psp_aspp import (ASPPHead,
                                                      DepthwiseSeparableASPPHead,
                                                      PSPHead, SegformerHead)
 from lednet_tpu.models.decode_heads.stdc_head import STDCHead
+from lednet_tpu.models.decode_heads.uper_ocr import (DepthwiseSeparableFCNHead,
+                                                     LRASPPHead, NLHead,
+                                                     OCRHead, UPerHead)
 
 __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'ASPPHead', 'DepthwiseSeparableASPPHead', 'SegformerHead',
-           'LightHamHead']
+           'LightHamHead', 'UPerHead', 'OCRHead',
+           'DepthwiseSeparableFCNHead', 'LRASPPHead', 'NLHead']

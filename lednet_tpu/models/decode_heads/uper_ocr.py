@@ -1,0 +1,228 @@
+"""UPerHead, OCRHead, plus the compact utility heads
+(DepthwiseSeparableFCNHead, LRASPPHead, NonLocal/DNL-style context heads).
+
+Behavioral specs:
+- ``mmseg/models/decode_heads/uper_head.py``: PSP on the deepest level, FPN
+  laterals + top-down fusion, multi-scale concat -> 3x3 bottleneck -> cls.
+- ``mmseg/models/decode_heads/ocr_head.py`` (cascade): soft object regions
+  from the previous logits, object-context attention between pixels and
+  region descriptors, concat + project.
+- ``sep_fcn_head.py``: FCN with depthwise-separable convs (Fast-SCNN head).
+- ``lraspp_head.py``: MobileNetV3 Lite-RASPP.
+- ``nl_head.py``/``dnl_head.py``: non-local context block over the deepest
+  feature before an FCN tail.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lednet_tpu.models.decode_heads.base import ClsSeg, select_inputs
+from lednet_tpu.models.decode_heads.fcn_head import FCNHead
+from lednet_tpu.models.decode_heads.psp_aspp import _HeadBase, _SepConv
+from lednet_tpu.models.layers import ConvModule
+from lednet_tpu.ops import adaptive_avg_pool2d, avg_pool2d, global_avg_pool
+from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.registry import MODELS
+
+
+@MODELS.register_module()
+class UPerHead(_HeadBase):
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    in_index: Sequence[int] = (0, 1, 2, 3)
+    input_transform: Optional[str] = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        xs = list(select_inputs(inputs, self.in_index, 'multiple_select',
+                                self.align_corners))
+        # PSP on the deepest
+        deep = xs[-1]
+        size = deep.shape[-3:-1]
+        psp = [deep]
+        for s in self.pool_scales:
+            p = ConvModule(deep.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg,
+                           name=f'ppm{s}')(adaptive_avg_pool2d(deep, s),
+                                           train=train)
+            psp.append(resize_bilinear(p, size, self.align_corners))
+        psp_out = ConvModule(deep.shape[-1] + len(self.pool_scales) * self.channels,
+                             self.channels, 3, padding=1, norm_cfg=norm_cfg,
+                             act_cfg=act_cfg, name='psp_bottleneck')(
+            jnp.concatenate(psp, axis=-1), train=train)
+
+        # FPN top-down
+        laterals = [ConvModule(x.shape[-1], self.channels, 1,
+                               norm_cfg=norm_cfg, act_cfg=act_cfg,
+                               name=f'lateral{i}')(x, train=train)
+                    for i, x in enumerate(xs[:-1])] + [psp_out]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + resize_bilinear(
+                laterals[i], laterals[i - 1].shape[-3:-1], self.align_corners)
+        fpn_outs = [ConvModule(self.channels, self.channels, 3, padding=1,
+                               norm_cfg=norm_cfg, act_cfg=act_cfg,
+                               name=f'fpn{i}')(laterals[i], train=train)
+                    for i in range(len(laterals) - 1)] + [laterals[-1]]
+        top = fpn_outs[0].shape[-3:-1]
+        fpn_outs = [resize_bilinear(f, top, self.align_corners)
+                    for f in fpn_outs]
+        out = ConvModule(self.channels * len(fpn_outs), self.channels, 3,
+                         padding=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='fpn_bottleneck')(
+            jnp.concatenate(fpn_outs, axis=-1), train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(out, train=train)
+
+
+@MODELS.register_module()
+class OCRHead(_HeadBase):
+    """Cascade head: __call__(inputs, prev_logits)."""
+    ocr_channels: int = 256
+    scale: int = 1
+
+    @nn.compact
+    def __call__(self, inputs, prev_output=None, train: bool = False,
+                 with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='bottleneck')(x, train=train)
+        if prev_output is None:
+            prev_output = jnp.zeros(feats.shape[:-1] + (self.num_classes,),
+                                    feats.dtype)
+        B, H, W, C = feats.shape
+        probs = nn.softmax(prev_output.astype(jnp.float32), axis=-1)
+        probs = resize_bilinear(probs, (H, W), self.align_corners)
+        # object region descriptors: class-weighted spatial pooling
+        pix = feats.reshape(B, H * W, C)
+        pr = probs.reshape(B, H * W, -1)
+        pr = pr / (jnp.sum(pr, axis=1, keepdims=True) + 1e-6)
+        regions = jnp.einsum('bnk,bnc->bkc', pr, pix.astype(jnp.float32))
+
+        # pixel-region attention (ObjectAttentionBlock)
+        key_ch = self.ocr_channels
+        q = nn.Dense(key_ch, name='query')(pix)
+        k = nn.Dense(key_ch, name='key')(regions.astype(feats.dtype))
+        v = nn.Dense(key_ch, name='value')(regions.astype(feats.dtype))
+        attn = jnp.einsum('bnc,bkc->bnk', q, k,
+                          preferred_element_type=jnp.float32) * key_ch ** -0.5
+        attn = nn.softmax(attn, axis=-1).astype(feats.dtype)
+        ctx = jnp.einsum('bnk,bkc->bnc', attn, v,
+                         preferred_element_type=jnp.float32).astype(feats.dtype)
+        ctx = nn.Dense(self.channels, name='up_proj')(ctx)
+        ctx = ctx.reshape(B, H, W, self.channels)
+
+        out = ConvModule(2 * self.channels, self.channels, 1,
+                         norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='project')(jnp.concatenate([ctx, feats], -1),
+                                         train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(out, train=train)
+
+
+@MODELS.register_module()
+class DepthwiseSeparableFCNHead(FCNHead):
+    """Fast-SCNN's head: FCN with separable convs (reference
+    ``sep_fcn_head.py``)."""
+    dw_act_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = x
+        in_ch = x.shape[-1]
+        for i in range(self.num_convs):
+            feats = _SepConv(in_ch if i == 0 else self.channels,
+                             self.channels, self.kernel_size,
+                             norm_cfg=norm_cfg, act_cfg=act_cfg,
+                             name=f'conv{i}')(feats, train=train)
+        if self.concat_input:
+            feats = _SepConv(in_ch + self.channels, self.channels,
+                             self.kernel_size, norm_cfg=norm_cfg,
+                             act_cfg=act_cfg, name='conv_cat')(
+                jnp.concatenate([x, feats], axis=-1), train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(feats, train=train)
+
+
+@MODELS.register_module()
+class LRASPPHead(_HeadBase):
+    """Lite R-ASPP (MobileNetV3; reference ``lraspp_head.py``)."""
+    branch_channels: Sequence[int] = (32, 64)
+    in_index: Sequence[int] = (0, 1, 2)
+    input_transform: Optional[str] = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        xs = select_inputs(inputs, self.in_index, 'multiple_select',
+                           self.align_corners)
+        deep = xs[-1]
+        x = ConvModule(deep.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
+                       act_cfg=dict(type='ReLU'), name='aspp_conv')(deep,
+                                                                    train=train)
+        # image-pool gate (the reference uses a large-stride avg pool)
+        gate = nn.sigmoid(ConvModule(deep.shape[-1], self.channels, 1,
+                                     norm_cfg=None, act_cfg=None,
+                                     name='image_pool')(global_avg_pool(deep),
+                                                        train=train))
+        x = x * gate
+        for i, mid in enumerate(xs[:-1][::-1]):
+            x = resize_bilinear(x, mid.shape[-3:-1], self.align_corners)
+            proj = ConvModule(mid.shape[-1],
+                              self.branch_channels[len(xs) - 2 - i], 1,
+                              norm_cfg=norm_cfg, act_cfg=None,
+                              name=f'convs{len(xs) - 2 - i}')(mid, train=train)
+            x = jnp.concatenate([x, proj], axis=-1)
+            x = ConvModule(x.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=dict(type='ReLU'),
+                           name=f'conv_up{i}')(x, train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(x, train=train)
+
+
+@MODELS.register_module()
+class NLHead(_HeadBase):
+    """FCN tail with a non-local block (reference ``nl_head.py``)."""
+    reduction: int = 2
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='conv0')(x, train=train)
+        B, H, W, C = feats.shape
+        inter = max(C // self.reduction, 1)
+        flat = feats.reshape(B, H * W, C)
+        theta = nn.Dense(inter, name='theta')(flat)
+        phi = nn.Dense(inter, name='phi')(flat)
+        g = nn.Dense(inter, name='g')(flat)
+        attn = jnp.einsum('bnc,bmc->bnm', theta, phi,
+                          preferred_element_type=jnp.float32)
+        if self.use_scale:
+            attn = attn * inter ** -0.5
+        attn = nn.softmax(attn, axis=-1).astype(feats.dtype)
+        y = jnp.einsum('bnm,bmc->bnc', attn, g,
+                       preferred_element_type=jnp.float32).astype(feats.dtype)
+        y = nn.Dense(C, name='out_proj')(y).reshape(B, H, W, C)
+        feats = feats + y
+        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg, name='conv1')(feats, train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(feats, train=train)
