@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument('--synthetic', default=None,
                    help='HxW for synthetic input (e.g. 720x1280); used when '
                         'the dataset is unavailable')
+    p.add_argument('--profile', default=None, metavar='TRACE_DIR',
+                   help='capture a jax.profiler trace of 20 iterations into '
+                        'TRACE_DIR (view with tensorboard / xprof)')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -86,6 +89,18 @@ def main():
         except Exception:
             print('dataset unavailable; falling back to synthetic 720x1280')
             frames = synthetic_frames((720, 1280))
+
+    if args.profile:
+        # warm up, then trace 20 steps (SURVEY.md §5.1: the reference has no
+        # profiler integration; jax.profiler traces are the TPU upgrade)
+        frame = next(frames)
+        out = eval_step(runner.state, jnp.asarray(np.asarray(frame)))
+        jax.block_until_ready(out)
+        with jax.profiler.trace(args.profile):
+            for _ in range(20):
+                out = eval_step(runner.state, jnp.asarray(np.asarray(frame)))
+            jax.block_until_ready(out)
+        print(f'profiler trace written to {args.profile}')
 
     benchmark_dict = dict(config=args.config, unit='img / s')
     overall_fps_list = []
