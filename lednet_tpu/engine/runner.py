@@ -65,10 +65,16 @@ class Runner:
         # per-device batch size from config scales to the mesh (mmseg's
         # batch_size is per-GPU; ours is per-device on the data mesh axis)
         per_dev_bs = cfg.train_dataloader.get('batch_size', 2)
-        global_bs = per_dev_bs * self.n_devices
+        # multi-host SPMD: each process loads its local shard of the global
+        # batch (round-robin over jax.process_index, replacing the
+        # reference's DistSamplerSeedHook/rank sharding)
+        local_devices = max(self.n_devices // jax.process_count(), 1)
+        global_bs = per_dev_bs * local_devices
         loader_cfg = dict(cfg.train_dataloader)
         loader_cfg['batch_size'] = global_bs
-        train_loader = build_dataloader(loader_cfg, seed=self.seed)
+        train_loader = build_dataloader(loader_cfg, seed=self.seed,
+                                        rank=jax.process_index(),
+                                        world_size=jax.process_count())
         self.dataset_meta = train_loader.dataset.metainfo
 
         tx, lr_schedule = build_optimizer(cfg.get('optim_wrapper'),

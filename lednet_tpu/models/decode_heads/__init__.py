@@ -1,3 +1,8 @@
+from lednet_tpu.models.decode_heads.context_heads import (ANNHead, APCHead,
+                                                          DMHead, DNLHead,
+                                                          EMAHead, EncHead,
+                                                          GCHead, ISAHead,
+                                                          SETRUPHead)
 from lednet_tpu.models.decode_heads.fcn_head import FCNHead
 from lednet_tpu.models.decode_heads.ham_head import LightHamHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
@@ -13,4 +18,6 @@ from lednet_tpu.models.decode_heads.uper_ocr import (DepthwiseSeparableFCNHead,
 __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'ASPPHead', 'DepthwiseSeparableASPPHead', 'SegformerHead',
            'LightHamHead', 'UPerHead', 'OCRHead',
-           'DepthwiseSeparableFCNHead', 'LRASPPHead', 'NLHead']
+           'DepthwiseSeparableFCNHead', 'LRASPPHead', 'NLHead', 'ANNHead', 'APCHead',
+           'DMHead', 'DNLHead', 'EMAHead', 'EncHead', 'GCHead', 'ISAHead',
+           'SETRUPHead']

@@ -87,16 +87,27 @@ def sem_label(seg_label):
 
 
 def default_loss_by_feat(seg_logits, seg_label, losses, align_corners: bool,
-                         ignore_index: int) -> Dict[str, jnp.ndarray]:
+                         ignore_index: int,
+                         sampler=None) -> Dict[str, jnp.ndarray]:
     """Single-tensor-head loss path (reference ``loss_by_feat``,
-    ``decode_head.py:292-339``): resize logits to the label, run every
-    configured loss (accumulating same-named ones), add ``acc_seg``."""
+    ``decode_head.py:292-339``): resize logits to the label, optional pixel
+    sampler weights, run every configured loss (accumulating same-named
+    ones), add ``acc_seg``."""
     seg_label = sem_label(seg_label)
     seg_logits = resize_bilinear(seg_logits, seg_label.shape[-2:], align_corners)
+    seg_weight = None
+    if sampler is not None:
+        if isinstance(sampler, dict):
+            sampler = MODELS.build(dict(sampler))
+        seg_weight = sampler.sample(seg_logits, seg_label)
     out: Dict[str, jnp.ndarray] = {}
     for loss_fn in losses:
         name = loss_fn.loss_name
-        val = loss_fn(seg_logits, seg_label, ignore_index=ignore_index)
+        try:
+            val = loss_fn(seg_logits, seg_label, weight=seg_weight,
+                          ignore_index=ignore_index)
+        except TypeError:
+            val = loss_fn(seg_logits, seg_label, ignore_index=ignore_index)
         out[name] = out.get(name, 0.0) + val
     out['acc_seg'] = accuracy(seg_logits, seg_label, ignore_index)
     return out

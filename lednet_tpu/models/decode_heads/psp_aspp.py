@@ -78,7 +78,8 @@ class _HeadBase(nn.Module):
     def loss_by_feat(self, seg_logits, seg_label) -> Dict:
         return default_loss_by_feat(seg_logits, seg_label,
                                     build_losses(self.loss_decode),
-                                    self.align_corners, self.ignore_index)
+                                    self.align_corners, self.ignore_index,
+                                    sampler=self.sampler)
 
     def predict_by_feat(self, seg_logits, size=None):
         if size is None:
