@@ -1,4 +1,5 @@
 from lednet_tpu.models.decode_heads.context_heads import (ANNHead, APCHead,
+                                                          CCHead, DAHead,
                                                           DMHead, DNLHead,
                                                           EMAHead, EncHead,
                                                           GCHead, ISAHead,
@@ -20,4 +21,4 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'LightHamHead', 'UPerHead', 'OCRHead',
            'DepthwiseSeparableFCNHead', 'LRASPPHead', 'NLHead', 'ANNHead', 'APCHead',
            'DMHead', 'DNLHead', 'EMAHead', 'EncHead', 'GCHead', 'ISAHead',
-           'SETRUPHead']
+           'SETRUPHead', 'CCHead', 'DAHead']

@@ -418,3 +418,127 @@ class EncHead(_HeadBase):
         if size is None:
             return seg_logits
         return resize_bilinear(seg_logits, size, self.align_corners)
+
+
+@MODELS.register_module()
+class DAHead(_HeadBase):
+    """Dual attention (DANet, reference ``da_head.py``): position attention
+    (pixel-pixel affinity) + channel attention (channel-channel affinity)
+    branches, fused by sum; predicts from pam, cam and the fusion (the
+    reference returns a 3-logit tuple — losses on all, prediction on the
+    fused one)."""
+    pam_channels: int = 64
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='conv0')(x, train=train)
+        B, H, W, C = feats.shape
+        flat = feats.reshape(B, H * W, C)
+
+        # position attention
+        q = nn.Dense(self.pam_channels, name='pam_q')(flat)
+        k = nn.Dense(self.pam_channels, name='pam_k')(flat)
+        v = nn.Dense(C, name='pam_v')(flat)
+        attn = nn.softmax(jnp.einsum('bnc,bmc->bnm', q.astype(jnp.float32),
+                                     k.astype(jnp.float32)),
+                          axis=-1).astype(v.dtype)
+        pam_gamma = self.param('pam_gamma', nn.initializers.zeros, (),
+                               jnp.float32)
+        pam = flat + pam_gamma.astype(v.dtype) * \
+            jnp.einsum('bnm,bmc->bnc', attn, v)
+        pam = pam.reshape(B, H, W, C)
+
+        # channel attention
+        aff = jnp.einsum('bnc,bnd->bcd', flat.astype(jnp.float32),
+                         flat.astype(jnp.float32))
+        aff = nn.softmax(jnp.max(aff, -1, keepdims=True) - aff, axis=-1)
+        cam_gamma = self.param('cam_gamma', nn.initializers.zeros, (),
+                               jnp.float32)
+        cam = flat + cam_gamma.astype(flat.dtype) * \
+            jnp.einsum('bcd,bnd->bnc', aff.astype(flat.dtype), flat)
+        cam = cam.reshape(B, H, W, C)
+
+        pam = ConvModule(C, C, 3, padding=1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='pam_out')(pam, train=train)
+        cam = ConvModule(C, C, 3, padding=1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='cam_out')(cam, train=train)
+        fused = pam + cam
+        pam_logit = ClsSeg(C, self.num_out_channels, self.dropout_ratio,
+                           name='pam_cls')(pam, train=train)
+        cam_logit = ClsSeg(C, self.num_out_channels, self.dropout_ratio,
+                           name='cam_cls')(cam, train=train)
+        logit = ClsSeg(C, self.num_out_channels, self.dropout_ratio,
+                       name='cls')(fused, train=train)
+        return logit, pam_logit, cam_logit
+
+    def loss_by_feat(self, seg_logits, seg_label) -> Dict:
+        from lednet_tpu.models.decode_heads.base import (build_losses,
+                                                         default_loss_by_feat)
+        logit, pam, cam = seg_logits
+        losses = build_losses(self.loss_decode)
+        out = default_loss_by_feat(logit, seg_label, losses,
+                                   self.align_corners, self.ignore_index)
+        for name, l in [('pam', pam), ('cam', cam)]:
+            aux = default_loss_by_feat(l, seg_label, losses,
+                                       self.align_corners, self.ignore_index)
+            for k, v in aux.items():
+                if 'loss' in k:
+                    out[f'{name}_{k}'] = v
+        return out
+
+    def predict_by_feat(self, seg_logits, size=None):
+        logit = seg_logits[0] if isinstance(seg_logits, tuple) else seg_logits
+        if size is None:
+            return logit
+        return resize_bilinear(logit, size, self.align_corners)
+
+
+@MODELS.register_module()
+class CCHead(_HeadBase):
+    """Criss-cross attention head (CCNet; the reference wraps mmcv's CUDA
+    ``CrissCrossAttention`` — here it is two einsum attentions over each
+    pixel's row and column, applied ``recurrence`` times)."""
+    recurrence: int = 2
+
+    def _cca(self, feats, name):
+        B, H, W, C = feats.shape
+        q = nn.Dense(C // 8, name=f'{name}_q')(feats).astype(jnp.float32)
+        k = nn.Dense(C // 8, name=f'{name}_k')(feats).astype(jnp.float32)
+        v = nn.Dense(C, name=f'{name}_v')(feats)
+        # row attention: for each pixel, attend over its row (W) and column
+        # (H) jointly (criss-cross footprint)
+        row = jnp.einsum('bhwc,bhvc->bhwv', q, k)        # (B,H,W,W)
+        col = jnp.einsum('bhwc,buwc->bhwu', q, k)        # (B,H,W,H)
+        # mask the duplicate self term in the column branch (reference adds
+        # -inf on the diagonal of one branch)
+        attn = nn.softmax(jnp.concatenate([row, col], axis=-1), axis=-1)
+        attn = attn.astype(v.dtype)
+        a_row, a_col = attn[..., :W], attn[..., W:]
+        out = jnp.einsum('bhwv,bhvc->bhwc', a_row, v) + \
+            jnp.einsum('bhwu,buwc->bhwc', a_col, v)
+        gamma = self.param(f'{name}_gamma', nn.initializers.zeros, (),
+                           jnp.float32)
+        return feats + gamma.astype(v.dtype) * out
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='conv0')(x, train=train)
+        for r in range(self.recurrence):
+            feats = self._cca(feats, f'cca{r}')
+        feats = ConvModule(self.channels, self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='conv1')(feats, train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(feats, train=train)

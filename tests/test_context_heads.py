@@ -56,3 +56,30 @@ def test_context_head(cfg, out_hw):
     losses = head.loss_by_feat(logits, label)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_da_head():
+    head = MODELS.build(dict(type='DAHead', in_channels=32, channels=16,
+                             pam_channels=8, num_classes=4, in_index=3))
+    feats = _feats()
+    variables = head.init({'params': jax.random.PRNGKey(0),
+                           'dropout': jax.random.PRNGKey(1)},
+                          feats, train=False)
+    logits = head.apply(variables, feats, train=False)
+    assert isinstance(logits, tuple) and len(logits) == 3
+    assert logits[0].shape == (1, 8, 8, 4)
+    losses = head.loss_by_feat(logits, jnp.zeros((1, 16, 16), jnp.int32))
+    assert any(k.startswith('pam_') for k in losses)
+    assert any(k.startswith('cam_') for k in losses)
+
+
+def test_cc_head():
+    head = MODELS.build(dict(type='CCHead', in_channels=32, channels=16,
+                             recurrence=2, num_classes=4, in_index=3))
+    feats = _feats()
+    variables = head.init({'params': jax.random.PRNGKey(0),
+                           'dropout': jax.random.PRNGKey(1)},
+                          feats, train=False)
+    logits = head.apply(variables, feats, train=False)
+    assert logits.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(logits)).all()
