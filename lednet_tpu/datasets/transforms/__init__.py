@@ -11,5 +11,7 @@ from lednet_tpu.datasets.transforms.transforms import (CLAHE, AdjustGamma,
                                                        RandomRotate, Rerange,
                                                        Resize,
                                                        ResizeToMultiple,
-                                                       RGB2Gray, SegRescale)
+                                                       RGB2Gray, SegRescale,
+                                                       Albu, RandomMosaic,
+                                                       ResizeShortestEdge)
 from lednet_tpu.datasets.transforms.fused import FusedRandomResizeCropFlip

@@ -373,3 +373,115 @@ class GenerateEdge:
         results['gt_edge_map'] = edge
         results.setdefault('seg_fields', []).append('gt_edge_map')
         return results
+
+
+@TRANSFORMS.register_module()
+class ResizeShortestEdge:
+    """Scale the short edge to one of ``scale`` capping the long edge at
+    ``max_size`` (reference ``transforms.py:1472``, detectron2 semantics)."""
+
+    def __init__(self, scale, max_size):
+        self.scale = scale if isinstance(scale, (list, tuple)) else [scale]
+        self.max_size = max_size
+
+    def __call__(self, results: Dict) -> Dict:
+        h, w = results['img'].shape[:2]
+        short = int(np.random.choice(self.scale))
+        f = short / min(h, w)
+        if max(h, w) * f > self.max_size:
+            f = self.max_size / max(h, w)
+        new_w, new_h = int(w * f + 0.5), int(h * f + 0.5)
+        results['img'] = _imresize(results['img'], (new_w, new_h))
+        results['img_shape'] = (new_h, new_w)
+        results['scale_factor'] = (new_w / w, new_h / h)
+        for key in results.get('seg_fields', []):
+            results[key] = _imresize(results[key], (new_w, new_h), 'nearest')
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomMosaic:
+    """4-image mosaic (reference ``transforms.py:1102``): paste four samples
+    around a jittered center on a 2x-canvas. Requires the dataset wrapper to
+    expose ``results['dataset']`` (MultiImageMixDataset)."""
+
+    def __init__(self, prob, img_scale=(640, 640), center_ratio_range=(0.5, 1.5),
+                 pad_val=0, seg_pad_val=255):
+        self.prob = prob
+        self.img_scale = img_scale  # (h, w)
+        self.center_ratio_range = center_ratio_range
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def __call__(self, results: Dict) -> Dict:
+        if np.random.rand() >= self.prob or 'dataset' not in results:
+            return results
+        dataset = results['dataset']
+        mh, mw = self.img_scale
+        canvas = np.full((2 * mh, 2 * mw, 3), self.pad_val, np.uint8)
+        seg_canvas = np.full((2 * mh, 2 * mw), self.seg_pad_val, np.uint8)
+        cy = int(np.random.uniform(*self.center_ratio_range) * mh)
+        cx = int(np.random.uniform(*self.center_ratio_range) * mw)
+        samples = [results]
+        from lednet_tpu.datasets.transforms.loading import (LoadAnnotations,
+                                                            LoadImageFromFile)
+        loader_i, loader_a = LoadImageFromFile(), LoadAnnotations()
+        for _ in range(3):
+            info = dataset.get_data_info(np.random.randint(len(dataset)))
+            info = loader_a(loader_i(info))
+            samples.append(info)
+        quads = [(slice(0, cy), slice(0, cx)),
+                 (slice(0, cy), slice(cx, 2 * mw)),
+                 (slice(cy, 2 * mh), slice(0, cx)),
+                 (slice(cy, 2 * mh), slice(cx, 2 * mw))]
+        for samp, (ys, xs) in zip(samples, quads):
+            th = ys.stop - ys.start
+            tw = xs.stop - xs.start
+            if th <= 0 or tw <= 0:
+                continue
+            img = _imresize(samp['img'], (tw, th))
+            canvas[ys, xs] = img
+            if 'gt_seg_map' in samp:
+                seg_canvas[ys, xs] = _imresize(samp['gt_seg_map'], (tw, th),
+                                               'nearest')
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape[:2]
+        if 'gt_seg_map' in results:
+            results['gt_seg_map'] = seg_canvas
+        return results
+
+
+@TRANSFORMS.register_module()
+class Albu:
+    """Albumentations bridge (reference ``transforms.py:2300``). Gated: if
+    the albumentations package is unavailable the transform is a no-op with
+    a one-time warning (the package is not part of this image)."""
+
+    def __init__(self, transforms, keymap=None, update_pad_shape=False):
+        self.transforms = transforms
+        self._warned = False
+        try:
+            import albumentations
+            built = []
+            for t in transforms:
+                t = dict(t)
+                cls = getattr(albumentations, t.pop('type'))
+                built.append(cls(**t))
+            self._compose = albumentations.Compose(built)
+        except Exception:
+            self._compose = None
+
+    def __call__(self, results: Dict) -> Dict:
+        if self._compose is None:
+            if not self._warned:
+                import warnings
+                warnings.warn('albumentations not installed; Albu is a no-op')
+                self._warned = True
+            return results
+        out = self._compose(image=results['img'],
+                            mask=results.get('gt_seg_map'))
+        results['img'] = out['image']
+        if out.get('mask') is not None:
+            results['gt_seg_map'] = out['mask']
+        results['img_shape'] = results['img'].shape[:2]
+        return results
