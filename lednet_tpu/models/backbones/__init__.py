@@ -2,6 +2,7 @@ from lednet_tpu.models.backbones.bisenetv1 import BiSeNetV1
 from lednet_tpu.models.backbones.bisenetv2 import BiSeNetV2
 from lednet_tpu.models.backbones.cgnet import CGNet
 from lednet_tpu.models.backbones.ddrnet import DDRNet
+from lednet_tpu.models.backbones.dsnet import DSNet, MFACB, SPASPP
 from lednet_tpu.models.backbones.erfnet import ERFNet
 from lednet_tpu.models.backbones.fast_scnn import FastSCNN
 from lednet_tpu.models.backbones.hrnet import HRNet
@@ -12,12 +13,13 @@ from lednet_tpu.models.backbones.mobilenet import MobileNetV2, MobileNetV3
 from lednet_tpu.models.backbones.mscan import MSCAN
 from lednet_tpu.models.backbones.pidnet import PIDNet
 from lednet_tpu.models.backbones.resnet import ResNet, ResNetV1c, ResNetV1d
+from lednet_tpu.models.backbones.sctnet import SCTNet
 from lednet_tpu.models.backbones.stdc import (STDCContextPathNet, STDCModule,
                                               STDCNet)
 from lednet_tpu.models.backbones.unet import UNet
 from lednet_tpu.models.backbones.vit import SwinTransformer, VisionTransformer
 
-__all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'ERFNet', 'FastSCNN',
+__all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'DSNet', 'ERFNet', 'FastSCNN', 'SCTNet',
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
            'ResNetV1d', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'UNet',
