@@ -97,3 +97,18 @@ def test_ohem_pixel_sampler(rng):
         w = sampler.sample(logits, labels)
         assert w.shape == (2, 16, 16)
         assert float(w.sum()) >= 20
+
+
+def test_projects_extension_contract(tmp_path):
+    """projects/ packages self-register on import and their configs build."""
+    import os.path as osp
+    import sys
+    repo = osp.join(osp.dirname(__file__), '..')
+    sys.path.insert(0, repo)
+    import projects.example_project  # noqa: F401
+    from lednet_tpu.config import Config
+    from lednet_tpu.registry import MODELS
+    cfg = Config.fromfile(osp.join(
+        repo, 'projects/example_project/configs/dummy_resnet_fcn.py'))
+    model = MODELS.build(dict(cfg.model))
+    assert model is not None
