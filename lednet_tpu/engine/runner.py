@@ -80,7 +80,8 @@ class Runner:
         tx, lr_schedule = build_optimizer(cfg.get('optim_wrapper'),
                                           cfg.get('param_scheduler'))
         train_step = make_train_step(self.model, tx, self.preprocessor,
-                                     rng=jax.random.PRNGKey(self.seed))
+                                     rng=jax.random.PRNGKey(self.seed),
+                                     amp=bool(cfg.get('bf16', False)))
 
         # init on an example batch
         data_iter = iter(train_loader)

@@ -48,8 +48,15 @@ def parse_losses(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 
 def make_train_step(model, tx, preprocessor=None,
-                    rng: Optional[jax.Array] = None) -> Callable:
-    """Build the jitted train step: (state, inputs, labels) -> (state, logs)."""
+                    rng: Optional[jax.Array] = None,
+                    amp: bool = False) -> Callable:
+    """Build the jitted train step: (state, inputs, labels) -> (state, logs).
+
+    ``amp=True`` (the reference's ``--amp`` analogue) computes the forward/
+    backward in bf16 — f32 master weights are cast inside the loss, so
+    gradients and the optimizer update stay f32. bf16's 8-bit exponent
+    matches f32, so no loss scaling is needed (unlike torch fp16 AMP).
+    """
     base_rng = rng if rng is not None else jax.random.PRNGKey(42)
 
     def step_fn(state: TrainState, inputs, labels):
@@ -57,9 +64,15 @@ def make_train_step(model, tx, preprocessor=None,
             inputs, labels, _ = preprocessor(inputs, labels, training=True)
 
         def loss_fn(params):
+            run_params = params
+            run_inputs = inputs
+            if amp:
+                from lednet_tpu.utils.precision import cast_floating
+                run_params = cast_floating(params, jnp.bfloat16)
+                run_inputs = inputs.astype(jnp.bfloat16)
             out, mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                inputs, labels, method='loss', mutable=['batch_stats'],
+                {'params': run_params, 'batch_stats': state.batch_stats},
+                run_inputs, labels, method='loss', mutable=['batch_stats'],
                 rngs={'dropout': jax.random.fold_in(base_rng, state.step)})
             return parse_losses(out), (out, mutated)
 

@@ -120,3 +120,36 @@ def test_lr_schedule_poly():
     assert abs(sched(0) - 0.01) < 1e-9
     assert sched(50) < 0.01
     assert abs(sched(100)) < 1e-9
+
+
+def test_amp_train_step(pseudo_dataset, tmp_path):
+    """bf16 mixed-precision step keeps f32 master weights and finite loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lednet_tpu.engine.optim import build_optimizer
+    from lednet_tpu.engine.state import create_train_state, make_train_step
+    from lednet_tpu.registry import MODELS
+
+    model = MODELS.build(dict(
+        type='EncoderDecoder',
+        backbone=dict(type='LEDNet', channels=8, ppm_channels=32),
+        decode_head=dict(type='LEDHead', in_channels=32, channels=16,
+                         dropout_ratio=0.0, num_classes=2,
+                         loss_decode=[
+                             dict(type='OhemCrossEntropy', min_kept=16),
+                             dict(type='OhemCrossEntropy', min_kept=16,
+                                  loss_weight=0.4)])))
+    tx, _ = build_optimizer(dict(optimizer=dict(type='SGD', lr=0.01,
+                                                momentum=0.9)))
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, (2, 32, 32)), jnp.int32)
+    state = create_train_state(model, tx, dict(inputs=inputs,
+                                               gt_seg_map=labels))
+    step = make_train_step(model, tx, amp=True)
+    state, logs = step(state, inputs, labels)
+    assert np.isfinite(float(logs['loss']))
+    # master weights stay f32
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
