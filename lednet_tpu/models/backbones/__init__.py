@@ -13,6 +13,8 @@ from lednet_tpu.models.backbones.mobilenet import MobileNetV2, MobileNetV3
 from lednet_tpu.models.backbones.mscan import MSCAN
 from lednet_tpu.models.backbones.pidnet import PIDNet
 from lednet_tpu.models.backbones.resnet import ResNet, ResNetV1c, ResNetV1d
+from lednet_tpu.models.backbones.resnext import (BEiT, MAE, ResNeSt, ResNeXt,
+                                                 TIMMBackbone, VPD)
 from lednet_tpu.models.backbones.sctnet import SCTNet
 from lednet_tpu.models.backbones.stdc import (STDCContextPathNet, STDCModule,
                                               STDCNet)
@@ -22,5 +24,5 @@ from lednet_tpu.models.backbones.vit import SwinTransformer, VisionTransformer
 __all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'DSNet', 'ERFNet', 'FastSCNN', 'SCTNet',
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
-           'ResNetV1d', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'UNet',
+           'ResNetV1d', 'ResNeXt', 'ResNeSt', 'BEiT', 'MAE', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'UNet',
            'SwinTransformer', 'VisionTransformer']

@@ -8,6 +8,11 @@ from lednet_tpu.models.decode_heads.fcn_head import FCNHead
 from lednet_tpu.models.decode_heads.ham_head import LightHamHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
 from lednet_tpu.models.decode_heads.pid_head import PIDHead
+from lednet_tpu.models.decode_heads.point_setr_heads import (DPTHead,
+                                                             PointHead,
+                                                             PSAHead,
+                                                             SegmenterMaskTransformerHead,
+                                                             SETRMLAHead)
 from lednet_tpu.models.decode_heads.psp_aspp import (ASPPHead,
                                                      DepthwiseSeparableASPPHead,
                                                      PSPHead, SegformerHead)
@@ -21,4 +26,5 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'LightHamHead', 'UPerHead', 'OCRHead',
            'DepthwiseSeparableFCNHead', 'LRASPPHead', 'NLHead', 'ANNHead', 'APCHead',
            'DMHead', 'DNLHead', 'EMAHead', 'EncHead', 'GCHead', 'ISAHead',
-           'SETRUPHead', 'CCHead', 'DAHead']
+           'SETRUPHead', 'CCHead', 'DAHead', 'PointHead', 'PSAHead', 'SETRMLAHead',
+           'DPTHead', 'SegmenterMaskTransformerHead']

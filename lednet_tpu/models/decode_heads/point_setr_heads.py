@@ -1,0 +1,289 @@
+"""PointRend, PSA, SETR-MLA, DPT and Segmenter decode heads.
+
+Behavioral specs from ``mmseg/models/decode_heads/``:
+- ``point_head.py`` (PointRend, cascade): sample the K most uncertain points
+  of the coarse prediction, classify them from concatenated fine-grained +
+  coarse point features (``point_sample`` = bilinear gather — the mmcv CUDA
+  op re-expressed as jnp gathers), scatter refined logits back. Train-time
+  losses follow the same point sampling.
+- ``psa_head.py``: point-wise spatial attention — 'collect' and 'distribute'
+  global attention maps predicted per pixel (the mmcv ``PSAMask`` op becomes
+  a plain H*W x H*W einsum at the head's working resolution).
+- ``setr_mla_head.py``: multi-level feature aggregation - per-level conv +
+  4x upsample, concat, cls.
+- ``dpt_head.py``: reassemble ViT tokens at multiple scales + residual conv
+  fusion (simplified: conv projections + top-down residual fusion).
+- ``segmenter_mask_head.py``: learned class tokens attend over patch tokens
+  (2 transformer layers), masks = scaled patch-token/class-token dot.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lednet_tpu.models.decode_heads.base import (ClsSeg, build_losses,
+                                                 default_loss_by_feat,
+                                                 select_inputs, sem_label)
+from lednet_tpu.models.decode_heads.psp_aspp import _HeadBase
+from lednet_tpu.models.layers import ConvModule, kaiming_init
+from lednet_tpu.models.losses.cross_entropy import pixelwise_cross_entropy
+from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.registry import MODELS
+
+
+def point_sample(feat, coords):
+    """Bilinear sample NHWC ``feat`` at normalized ``coords`` (B, P, 2) in
+    [0, 1] (x, y) — the mmcv ``point_sample`` contract, align_corners=False."""
+    B, H, W, C = feat.shape
+    x = coords[..., 0] * W - 0.5
+    y = coords[..., 1] * H - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = jnp.clip(x - x0, 0, 1)[..., None]
+    wy = jnp.clip(y - y0, 0, 1)[..., None]
+
+    def gather(yy, xx):
+        idx = yy * W + xx
+        return jax.vmap(lambda f, i: f[i])(feat.reshape(B, H * W, C), idx)
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+@MODELS.register_module()
+class PointHead(_HeadBase):
+    """Cascade refinement head: __call__(inputs, prev_logits)."""
+    num_points: int = 2048
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    num_fcs: int = 3
+    coarse_pred_each_layer: bool = True
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 8196
+    scale_factor: int = 2
+
+    def _uncertainty(self, logits):
+        top2 = jax.lax.top_k(logits, 2)[0]
+        return top2[..., 1] - top2[..., 0]  # negative margin
+
+    @nn.compact
+    def __call__(self, inputs, prev_output=None, train: bool = False,
+                 with_aux: bool = True):
+        """Returns (refined_logits, point_logits, point_coords)."""
+        fine = select_inputs(inputs, self.in_index, self.input_transform,
+                             self.align_corners)
+        if isinstance(fine, (list, tuple)):
+            fine = fine[0]
+        assert prev_output is not None, 'PointHead is a cascade head'
+        coarse = prev_output
+        B = fine.shape[0]
+        P = self.num_points
+
+        # uncertainty-based point selection on the coarse logits
+        unc = self._uncertainty(coarse)                     # (B, h, w)
+        h, w = unc.shape[1:3]
+        flat = unc.reshape(B, h * w)
+        k = min(P, h * w)
+        _, idx = jax.lax.top_k(flat, k)                     # most uncertain
+        ys = (idx // w).astype(jnp.float32)
+        xs = (idx % w).astype(jnp.float32)
+        coords = jnp.stack([(xs + 0.5) / w, (ys + 0.5) / h], axis=-1)
+
+        fine_pts = point_sample(fine, coords)
+        coarse_pts = point_sample(coarse, coords)
+        feat = jnp.concatenate([fine_pts, coarse_pts], axis=-1)
+        for i in range(self.num_fcs):
+            feat = nn.Conv(self.channels, (1,), name=f'fc{i}')(feat)
+            feat = nn.relu(feat)
+            if self.coarse_pred_each_layer:
+                feat = jnp.concatenate([feat, coarse_pts], axis=-1)
+        point_logits = nn.Conv(self.num_out_channels, (1,),
+                               name='fc_seg')(feat)
+
+        # scatter refined point logits back into the coarse map
+        refined = coarse.reshape(B, h * w, -1)
+        refined = jax.vmap(lambda r, i, v: r.at[i].set(v))(refined, idx,
+                                                           point_logits)
+        refined = refined.reshape(coarse.shape)
+        return refined, point_logits, coords
+
+    def loss_by_feat(self, seg_logits, seg_label) -> Dict:
+        refined, point_logits, coords = seg_logits
+        label = sem_label(seg_label).astype(jnp.float32)[..., None]
+        pts = point_sample(label, coords)[..., 0]
+        pts = jnp.round(pts).astype(jnp.int32)
+        pix, valid = pixelwise_cross_entropy(point_logits, pts,
+                                             self.ignore_index)
+        loss_point = jnp.sum(pix) / jnp.maximum(jnp.sum(valid), 1)
+        return {'loss_point': loss_point}
+
+    def predict_by_feat(self, seg_logits, size=None):
+        refined = seg_logits[0] if isinstance(seg_logits, tuple) else seg_logits
+        if size is None:
+            return refined
+        return resize_bilinear(refined, size, self.align_corners)
+
+
+@MODELS.register_module()
+class PSAHead(_HeadBase):
+    """Point-wise spatial attention (PSANet). mask_size bounds the working
+    resolution; 'bi-direction' collect+distribute is the default."""
+    mask_size: Sequence[int] = (97, 97)
+    psa_type: str = 'bi-direction'
+    compact: bool = False
+    shrink_factor: int = 2
+    psa_softmax: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name='reduce')(x, train=train)
+        B, H, W, C = feats.shape
+        n = H * W
+
+        def branch(name):
+            a = ConvModule(C, C // 2, 1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'{name}_proj')(feats, train=train)
+            attn = nn.Conv(n, (1, 1), name=f'{name}_attn')(a)
+            attn = attn.reshape(B, n, n)
+            if self.psa_softmax:
+                attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
+            v = a.reshape(B, n, C // 2).astype(jnp.float32)
+            out = jnp.einsum('bnm,bmc->bnc', attn, v).astype(feats.dtype)
+            return out.reshape(B, H, W, C // 2)
+
+        collect = branch('collect')
+        if self.psa_type == 'bi-direction':
+            distribute = branch('distribute')
+            psa = jnp.concatenate([collect, distribute], axis=-1)
+        else:
+            psa = jnp.concatenate([collect, collect], axis=-1)
+        out = jnp.concatenate([feats, psa], axis=-1)
+        out = ConvModule(out.shape[-1], self.channels, 3, padding=1,
+                         norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='project')(out, train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(out, train=train)
+
+
+@MODELS.register_module()
+class SETRMLAHead(_HeadBase):
+    """SETR multi-level aggregation head."""
+    mla_channels: int = 128
+    up_scale: int = 4
+    in_index: Sequence[int] = (0, 1, 2, 3)
+    input_transform: Optional[str] = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        xs = select_inputs(inputs, self.in_index, 'multiple_select',
+                           self.align_corners)
+        outs = []
+        for i, x in enumerate(xs):
+            h = nn.LayerNorm(name=f'ln{i}')(x)
+            h = ConvModule(h.shape[-1], self.mla_channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'conv{i}a')(h, train=train)
+            h = ConvModule(self.mla_channels, self.mla_channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'conv{i}b')(h, train=train)
+            h = resize_bilinear(h, (h.shape[1] * self.up_scale,
+                                    h.shape[2] * self.up_scale),
+                                self.align_corners)
+            outs.append(h)
+        out = jnp.concatenate(outs, axis=-1)
+        return ClsSeg(out.shape[-1], self.num_out_channels,
+                      self.dropout_ratio, name='cls')(out, train=train)
+
+
+@MODELS.register_module()
+class DPTHead(_HeadBase):
+    """DPT reassemble + residual fusion head (simplified: conv projections,
+    top-down residual conv fusion, final head)."""
+    post_process_channels: Sequence[int] = (96, 192, 384, 768)
+    readout_type: str = 'ignore'
+    expand_channels: bool = False
+    in_index: Sequence[int] = (0, 1, 2, 3)
+    input_transform: Optional[str] = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        xs = select_inputs(inputs, self.in_index, 'multiple_select',
+                           self.align_corners)
+        # project every level to `channels`
+        proj = [ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                           norm_cfg=None, act_cfg=None,
+                           name=f'reassemble{i}')(x, train=train)
+                for i, x in enumerate(xs)]
+        # top-down residual fusion to the finest level
+        h = proj[-1]
+        for i in range(len(proj) - 2, -1, -1):
+            h = resize_bilinear(h, proj[i].shape[-3:-1], self.align_corners)
+            r = ConvModule(self.channels, self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'res{i}')(proj[i], train=train)
+            h = h + r
+            h = ConvModule(self.channels, self.channels, 3, padding=1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'fuse{i}')(h, train=train)
+        return ClsSeg(self.channels, self.num_out_channels,
+                      self.dropout_ratio, name='cls')(h, train=train)
+
+
+@MODELS.register_module()
+class SegmenterMaskTransformerHead(_HeadBase):
+    """Segmenter: class embeddings attend with patch tokens; masks are the
+    normalized patch/class dot products."""
+    num_layers: int = 2
+    num_heads: int = 6
+    embed_dims: int = 192
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        from lednet_tpu.models.backbones.vit import _MHSA
+        x = select_inputs(inputs, self.in_index, self.input_transform,
+                          self.align_corners)
+        if isinstance(x, (list, tuple)):
+            x = x[-1]
+        B, H, W, C = x.shape
+        d = self.embed_dims
+        tokens = nn.Dense(d, name='proj_input')(x).reshape(B, H * W, d)
+        cls = self.param('cls_emb', nn.initializers.truncated_normal(0.02),
+                         (1, self.num_classes, d), jnp.float32)
+        cls = jnp.broadcast_to(cls, (B, self.num_classes, d)).astype(tokens.dtype)
+        h = jnp.concatenate([tokens, cls], axis=1)
+        for i in range(self.num_layers):
+            n1 = nn.LayerNorm(name=f'b{i}_norm1')(h)
+            h = h + _MHSA(d, self.num_heads, name=f'b{i}_attn')(n1)
+            n2 = nn.LayerNorm(name=f'b{i}_norm2')(h)
+            m = nn.Dense(d * self.mlp_ratio, name=f'b{i}_fc1')(n2)
+            h = h + nn.Dense(d, name=f'b{i}_fc2')(nn.gelu(m))
+        h = nn.LayerNorm(name='norm_out')(h)
+        patches, cls_tok = h[:, :H * W], h[:, H * W:]
+        patches = nn.Dense(d, use_bias=False, name='patch_proj')(patches)
+        cls_tok = nn.Dense(d, use_bias=False, name='cls_proj')(cls_tok)
+        patches = patches / (1e-6 + jnp.linalg.norm(patches, axis=-1,
+                                                    keepdims=True))
+        cls_tok = cls_tok / (1e-6 + jnp.linalg.norm(cls_tok, axis=-1,
+                                                    keepdims=True))
+        masks = jnp.einsum('bnd,bkd->bnk', patches, cls_tok)
+        temp = self.param('mask_norm_scale', nn.initializers.ones, (),
+                          jnp.float32)
+        return (masks * temp.astype(masks.dtype) * 10.0).reshape(
+            B, H, W, self.num_classes)
