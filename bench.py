@@ -41,7 +41,8 @@ def main():
 
     h, w = 720, 1280
     x = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    from lednet_tpu.engine.state import jit_init
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
 
     # bf16 weights + input: MXU-native inference precision
     params = cast_floating(variables['params'], jnp.bfloat16)

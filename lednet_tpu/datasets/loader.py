@@ -140,7 +140,10 @@ class DataLoader:
                     raise item
                 yield item
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass  # interpreter teardown: queue module may be gone
 
 
 def build_dataloader(cfg: Dict, rank: int = 0, world_size: int = 1,

@@ -30,12 +30,24 @@ class TrainState:
     opt_state: Any
 
 
+def jit_init(model, rngs, *args, **kwargs):
+    """``model.init`` under jit.
+
+    Eager init dispatches every op separately — on a tunneled TPU (axon)
+    each eager op is a network roundtrip, turning init into minutes. One
+    jitted program brings it back to one compile + one execution.
+    """
+    def _init(rngs, *a):
+        return model.init(rngs, *a, **kwargs)
+    return jax.jit(_init)(rngs, *args)
+
+
 def create_train_state(model, tx, sample_batch, rng=None) -> TrainState:
     """Initialize parameters/batch-stats and the optimizer state."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init({'params': rng, 'dropout': rng},
-                           sample_batch['inputs'],
-                           sample_batch['gt_seg_map'], method='loss')
+    variables = jit_init(model, {'params': rng, 'dropout': rng},
+                         sample_batch['inputs'],
+                         sample_batch['gt_seg_map'], method='loss')
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(step=jnp.asarray(0, jnp.int32), params=params,

@@ -43,7 +43,8 @@ def main():
 
     model = MODELS.build(dict(cfg.model))
     x = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    from lednet_tpu.engine.state import jit_init
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(variables['params']))
 

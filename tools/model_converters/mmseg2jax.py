@@ -65,7 +65,8 @@ def main():
     cfg = Config.fromfile(args.config)
     model = MODELS.build(dict(cfg.model))
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    from lednet_tpu.engine.state import jit_init
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
     params = jax.device_get(variables['params'])
     batch_stats = jax.device_get(variables.get('batch_stats', {}))
 
