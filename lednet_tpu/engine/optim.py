@@ -84,6 +84,9 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
     lr = opt_cfg.pop('lr', 0.01)
     schedule = build_lr_schedule(param_scheduler, lr)
 
+    paramwise_cfg = dict(ow.get('paramwise_cfg') or {})
+    constructor = ow.get('constructor')
+
     chain: List[optax.GradientTransformation] = []
     clip = ow.get('clip_grad')
     if clip:
@@ -92,12 +95,13 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
         elif 'clip_value' in clip:
             chain.append(optax.clip(clip['clip_value']))
 
+    decay_mask = paramwise_decay_mask(paramwise_cfg) if paramwise_cfg else None
     if otype == 'SGD':
         wd = opt_cfg.pop('weight_decay', 0.0)
         momentum = opt_cfg.pop('momentum', 0.0)
         nesterov = opt_cfg.pop('nesterov', False)
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
         if momentum:
             chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif otype in ('Adam', 'AdamW'):
@@ -106,9 +110,82 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
         eps = opt_cfg.pop('eps', 1e-8)
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
     else:
         raise ValueError(f'Unsupported optimizer: {otype}')
 
+    if constructor == 'LearningRateDecayOptimizerConstructor' or \
+            'decay_rate' in paramwise_cfg:
+        chain.append(layer_decay_scale(paramwise_cfg))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule
+
+
+def _path_str(path) -> str:
+    return '/'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
+                    for k in path).lower()
+
+
+def _layer_id(path: str, num_layers: int, decay_type: str) -> int:
+    """Reference ``layer_decay_optimizer_constructor.py`` layer binning:
+    patch embed -> 0, block i -> i+1, everything else -> num_layers+1."""
+    import re
+    if 'patch_embed' in path or 'stem' in path or 'pos_embed' in path \
+            or 'cls_token' in path:
+        return 0
+    m = re.search(r'(?:^|/)b(\d+)_', path) or \
+        re.search(r'(?:^|/)(?:blocks?|layers?)[._/]?(\d+)', path) or \
+        re.search(r's(\d+)_b(\d+)', path)
+    if m:
+        idx = int(m.group(m.lastindex))
+        if decay_type == 'stage_wise':
+            return idx + 1
+        return min(idx + 1, num_layers)
+    return num_layers + 1
+
+
+def layer_decay_scale(paramwise_cfg: Dict):
+    """optax transform scaling updates by layer-wise LR decay (reference
+    ``mmseg/engine/optimizers/layer_decay_optimizer_constructor.py``)."""
+    import jax
+    decay_rate = paramwise_cfg.get('decay_rate', 0.9)
+    num_layers = paramwise_cfg.get('num_layers', 12)
+    decay_type = paramwise_cfg.get('decay_type', 'layer_wise')
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def scale(path, u):
+            lid = _layer_id(_path_str(path), num_layers, decay_type)
+            return u * (decay_rate ** (num_layers + 1 - lid))
+        import jax.tree_util as jtu
+        return jtu.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def paramwise_decay_mask(paramwise_cfg: Dict):
+    """Weight-decay mask honoring ``norm_decay_mult`` / ``bias_decay_mult``
+    == 0 (reference ``force_default_constructor.py`` surface: norms and
+    biases opt out of decay)."""
+    norm_mult = paramwise_cfg.get('norm_decay_mult', 1.0)
+    bias_mult = paramwise_cfg.get('bias_decay_mult', 1.0)
+
+    def mask(params):
+        import jax.tree_util as jtu
+
+        def leaf_mask(path, p):
+            s = _path_str(path)
+            is_norm = any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
+                                           'batchnorm', 'layernorm'))
+            is_bias = s.endswith('/bias') or s.endswith('/b')
+            if is_norm and norm_mult == 0:
+                return False
+            if is_bias and bias_mult == 0:
+                return False
+            return True
+
+        return jtu.tree_map_with_path(leaf_mask, params)
+
+    return mask

@@ -153,3 +153,33 @@ def test_amp_train_step(pseudo_dataset, tmp_path):
     # master weights stay f32
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_layer_decay_and_paramwise_masks():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lednet_tpu.engine.optim import build_optimizer
+    params = {
+        'patch_embed': {'kernel': jnp.ones((2, 2))},
+        'b0_attn': {'qkv': {'kernel': jnp.ones((2, 2))}},
+        'b3_attn': {'qkv': {'kernel': jnp.ones((2, 2))}},
+        'head': {'conv': {'kernel': jnp.ones((2, 2)),
+                          'bias': jnp.ones((2,))}},
+        'norm': {'scale': jnp.ones((2,))},
+    }
+    tx, _ = build_optimizer(dict(
+        optimizer=dict(type='AdamW', lr=1.0, weight_decay=0.0),
+        constructor='LearningRateDecayOptimizerConstructor',
+        paramwise_cfg=dict(decay_rate=0.5, num_layers=4,
+                           norm_decay_mult=0.0, bias_decay_mult=0.0)))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # layer 0 (patch_embed) decays most; head (layer num_layers+1) none
+    u_embed = abs(float(updates['patch_embed']['kernel'][0, 0]))
+    u_b0 = abs(float(updates['b0_attn']['qkv']['kernel'][0, 0]))
+    u_b3 = abs(float(updates['b3_attn']['qkv']['kernel'][0, 0]))
+    u_head = abs(float(updates['head']['conv']['kernel'][0, 0]))
+    assert u_embed < u_b0 < u_b3 < u_head
+    np.testing.assert_allclose(u_embed / u_head, 0.5 ** 5, rtol=1e-4)
