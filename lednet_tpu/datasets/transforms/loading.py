@@ -91,3 +91,22 @@ class LoadAnnotations:
         results['gt_seg_map'] = seg
         results.setdefault('seg_fields', []).append('gt_seg_map')
         return results
+
+
+@TRANSFORMS.register_module()
+class LoadImageFromNpyFile(LoadImageFromFile):
+    """Fork-added loader for .npy imagery (reference ``loading.py:709``)."""
+
+    def __call__(self, results: Dict) -> Dict:
+        path = results['img_path']
+        if path.endswith('.npy'):
+            img = np.load(path)
+            if img.ndim == 2:
+                img = img[..., None].repeat(3, axis=-1)
+            if self.to_float32:
+                img = img.astype(np.float32)
+            results['img'] = img
+            results['img_shape'] = img.shape[:2]
+            results['ori_shape'] = img.shape[:2]
+            return results
+        return super().__call__(results)

@@ -1,0 +1,136 @@
+"""Twins backbones (PCPVT / SVT).
+
+Behavioral spec: reference ``mmseg/models/backbones/twins.py`` — PCPVT =
+PVT-style stages (patch embed + spatial-reduction attention) with conditional
+position encoding (a 3x3 depthwise conv after the first block of each
+stage); SVT alternates locally-grouped window attention with global
+sub-sampled attention. Both reuse the MiT building blocks here.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lednet_tpu.models.backbones.mit import EfficientAttention, MixFFN
+from lednet_tpu.models.layers import kaiming_init
+from lednet_tpu.registry import MODELS
+
+
+class _CPE(nn.Module):
+    """Conditional position encoding: 3x3 depthwise conv residual."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return x + nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                           feature_group_count=self.dim,
+                           kernel_init=kaiming_init, name='proj')(x)
+
+
+@MODELS.register_module()
+class PCPVT(nn.Module):
+    in_channels: int = 3
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    patch_sizes: Sequence[int] = (4, 2, 2, 2)
+    strides: Sequence[int] = (4, 2, 2, 2)
+    mlp_ratios: Sequence[int] = (8, 8, 4, 4)
+    depths: Sequence[int] = (3, 4, 6, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_after_stage: bool = True
+    pretrained: Optional[str] = None
+    init_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
+            p = self.patch_sizes[s]
+            x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
+                        padding='VALID' if p == self.strides[s] else
+                        ((p // 2,) * 2, (p // 2,) * 2),
+                        name=f'patch_embed{s}')(x)
+            x = nn.LayerNorm(name=f'embed_norm{s}')(x)
+            for b in range(depth):
+                h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
+                x = x + EfficientAttention(dim, self.num_heads[s],
+                                           self.sr_ratios[s], self.qkv_bias,
+                                           name=f's{s}_b{b}_attn')(h, train=train)
+                h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
+                x = x + MixFFN(dim, dim * self.mlp_ratios[s],
+                               name=f's{s}_b{b}_ffn')(h, train=train)
+                if b == 0:
+                    x = _CPE(dim, name=f'cpe{s}')(x)
+            if self.norm_after_stage:
+                x = nn.LayerNorm(name=f'stage_norm{s}')(x)
+            outs.append(x)
+        return tuple(outs[i] for i in self.out_indices)
+
+
+@MODELS.register_module()
+class SVT(PCPVT):
+    """SVT: alternate locally-grouped window attention with global
+    sub-sampled attention (even blocks local via small windows, odd blocks
+    the PCPVT global path). Window size from ``windiow_sizes``."""
+    windiow_sizes: Sequence[int] = (7, 7, 7, 7)  # reference's typo'd key
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
+            p = self.patch_sizes[s]
+            x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
+                        padding='VALID' if p == self.strides[s] else
+                        ((p // 2,) * 2, (p // 2,) * 2),
+                        name=f'patch_embed{s}')(x)
+            x = nn.LayerNorm(name=f'embed_norm{s}')(x)
+            ws = self.windiow_sizes[s]
+            for b in range(depth):
+                h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
+                if b % 2 == 0:
+                    x = x + self._local_attn(h, dim, self.num_heads[s], ws,
+                                             f's{s}_b{b}')
+                else:
+                    x = x + EfficientAttention(
+                        dim, self.num_heads[s], self.sr_ratios[s],
+                        self.qkv_bias, name=f's{s}_b{b}_attn')(h, train=train)
+                h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
+                x = x + MixFFN(dim, dim * self.mlp_ratios[s],
+                               name=f's{s}_b{b}_ffn')(h, train=train)
+                if b == 0:
+                    x = _CPE(dim, name=f'cpe{s}')(x)
+            if self.norm_after_stage:
+                x = nn.LayerNorm(name=f'stage_norm{s}')(x)
+            outs.append(x)
+        return tuple(outs[i] for i in self.out_indices)
+
+    def _local_attn(self, x, dim, heads, ws, prefix):
+        B, H, W, C = x.shape
+        pad_h, pad_w = (-H) % ws, (-W) % ws
+        h = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+        nh, nw = Hp // ws, Wp // ws
+        hd = C // heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                       name=f'{prefix}_qkv')(h)
+        qkv = qkv.reshape(B, nh, ws, nw, ws, 3, heads, hd)
+        qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7).reshape(
+            3, B * nh * nw, heads, ws * ws, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = nn.softmax(
+            jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5,
+            axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(B, nh, nw, heads, ws, ws, hd)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, Hp, Wp, C)
+        out = out[:, :H, :W]
+        return nn.Dense(C, name=f'{prefix}_proj')(out)
