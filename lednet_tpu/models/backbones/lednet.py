@@ -48,6 +48,11 @@ class LEDNet(nn.Module):
     context_pool: str = 'sesp'  # 'sesp' (PDF §7 final model) or 'dappm'
     num_heads: int = 8
     window_size: int = 8
+    # reconstruction knobs (the upstream backbone is withheld; these let the
+    # param/FLOP budget be tuned toward the paper's 1.661M / 9.2G without
+    # changing the module inventory)
+    stem_blocks: int = 2
+    mlp_ratio: float = 4.0
     init_cfg: Optional[Dict] = None
 
     @nn.compact
@@ -63,14 +68,18 @@ class LEDNet(nn.Module):
                         name='stem_conv1')(x, train=train)          # c @ 1/2
         x2 = ConvModule(c, c, 3, stride=2, padding=1, norm_cfg=norm_cfg,
                         act_cfg=act_cfg, name='stem_conv2')(x1, train=train)  # c @ 1/4
-        h = BasicBlock(c, c, norm_cfg=norm_cfg, name='stem_block1')(x2, train=train)
-        h = BasicBlock(c, c, norm_cfg=norm_cfg, act_out=False,
-                       name='stem_block2')(h, train=train)
+        h = x2
+        for i in range(self.stem_blocks):
+            h = BasicBlock(c, c, norm_cfg=norm_cfg,
+                           act_out=(i < self.stem_blocks - 1),
+                           name=f'stem_block{i + 1}')(h, train=train)
         h = nn.relu(h)
         h = BasicBlock(c, 2 * c, stride=2, downsample=True, norm_cfg=norm_cfg,
+                       act_out=(self.stem_blocks > 1),
                        name='stem_block3')(h, train=train)
-        h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg, act_out=False,
-                       name='stem_block4')(h, train=train)
+        for i in range(1, self.stem_blocks):
+            h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg, act_out=False,
+                           name=f'stem_block{3 + i}')(h, train=train)
         stem = nn.relu(h)                                           # 2c @ 1/8
 
         # ---- SEAM edge-attention map from the stem feature ---------------
@@ -80,6 +89,7 @@ class LEDNet(nn.Module):
         x_c = CESPB(2 * c, 4 * c, stride=2, num_blocks=2, spatial=False,
                     name='context1')(stem, train=train)             # 4c @ 1/16
         x_c = GETBBlock(4 * c, self.num_heads, window_size=self.window_size,
+                        mlp_ratio=self.mlp_ratio,
                         name='gltb1')(x_c, train=train)
         x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
                     name='spatial1')(stem, train=train)             # 2c @ 1/8
@@ -96,6 +106,7 @@ class LEDNet(nn.Module):
         x_c = CESPB(4 * c, 8 * c, stride=2, num_blocks=2, spatial=False,
                     name='context2')(nn.relu(x_c), train=train)     # 8c @ 1/32
         x_c = GETBBlock(8 * c, self.num_heads, window_size=self.window_size,
+                        mlp_ratio=self.mlp_ratio,
                         name='gltb2')(x_c, train=train)
         x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
                     name='spatial2')(nn.relu(x_s), train=train)
@@ -127,6 +138,7 @@ class LEDNet(nn.Module):
                 x_c = ConvModule(self.ppm_channels, 4 * c, 1, norm_cfg=norm_cfg,
                                  act_cfg=None, name='spp_out')(x_c, train=train)
         x_c = GETBBlock(4 * c, self.num_heads, window_size=self.window_size,
+                        mlp_ratio=self.mlp_ratio,
                         name='gltb3')(x_c, train=train)
         x_c = resize_bilinear(x_c, out_size, self.align_corners)
         c5_feat = x_s + x_c                                         # 4c @ 1/8

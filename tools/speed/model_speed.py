@@ -18,6 +18,8 @@ import time
 
 PRESETS = {
     'lednet': dict(type='LEDNet', channels=32, ppm_channels=128),
+    'lednet-slim': dict(type='LEDNet', channels=32, ppm_channels=128,
+                        stem_blocks=1, mlp_ratio=2.0),
     'ddrnet': dict(type='DDRNet', channels=32, ppm_channels=128),
     'ddrnet23': dict(type='DDRNet', channels=64, ppm_channels=128),
     'pidnet-s': dict(type='PIDNet', channels=32, ppm_channels=96),
