@@ -89,8 +89,28 @@ def _dilation_schedule(k: int, spatial: bool, r_lim: int, spaspp: bool) -> Tuple
     return tuple(sorted(rates))
 
 
+def _embed_dilated(kernel, d: int, size: int):
+    """Zero-embed a (3,3,1,n) depthwise kernel with dilation ``d`` into a
+    dense (size,size,1,n) kernel (dilated conv == dense conv with zeros)."""
+    import jax.numpy as jnp
+    pad = (size - (2 * d + 1)) // 2
+    out = jnp.zeros((size, size) + kernel.shape[2:], kernel.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            out = out.at[pad + ky * d, pad + kx * d].set(kernel[ky, kx])
+    return out
+
+
 class SESP(nn.Module):
-    """SESP block (LED-Net's core primitive)."""
+    """SESP block (LED-Net's core primitive).
+
+    ``fuse_branches=True`` runs the k dilated depthwise branches as ONE
+    depthwise conv over a k-times channel-tiled input with dilation-embedded
+    dense kernels — numerically identical (tested), but MEASURED SLOWER on
+    v5e (the channel tile + dense 9x9 kernels cost more HBM/VPU time than
+    the saved launches), so it stays off by default. Kept as a documented
+    experiment; parameters are layout-compatible either way.
+    """
     in_channels: int
     out_channels: int
     stride: int = 1
@@ -100,6 +120,26 @@ class SESP(nn.Module):
     spatial: bool = True
     spaspp: bool = False
     sespv2: bool = True
+    fuse_branches: bool = False
+
+    def _fused_dw(self, x, kernels, rates, stride, extra_dil=0):
+        """One depthwise conv over k-tiled channels; returns list of branch
+        outputs (pre-HFF)."""
+        import jax
+        n = kernels[0].shape[-1]
+        k = len(kernels)
+        dmax = max(r + extra_dil for r in rates)
+        size = 2 * dmax + 1
+        big = jnp.concatenate(
+            [_embed_dilated(kern.astype(x.dtype), d + extra_dil, size)
+             for kern, d in zip(kernels, rates)], axis=-1)    # (S,S,1,k*n)
+        tiled = jnp.tile(x, (1, 1, 1, k))
+        pad = dmax
+        out = jax.lax.conv_general_dilated(
+            tiled, big, (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=k * n)
+        return [out[..., i * n:(i + 1) * n] for i in range(k)]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,25 +151,59 @@ class SESP(nn.Module):
         reduced = _CBR(self.in_channels, n, 1, groups=self.k,
                        name='proj_1x1')(x, train=train)
 
-        # k depthwise dilated branches with hierarchical feature fusion
-        branches = []
-        for i, d in enumerate(rates):
-            b = nn.Conv(n, (3, 3), strides=(self.stride, self.stride),
-                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                        feature_group_count=n, use_bias=False,
-                        kernel_init=kaiming_init, name=f'spp_dw{i}')(reduced)
-            if branches:
-                b = b + branches[-1]
-            branches.append(b)
-
-        if self.sespv2:
-            branches = [
-                nn.Conv(n, (3, 3), padding=((d + 1, d + 1), (d + 1, d + 1)),
-                        kernel_dilation=(d + 1, d + 1), feature_group_count=n,
-                        use_bias=False, kernel_init=kaiming_init,
-                        name=f'spp_dw_v2_{i}')(b)
-                for i, (b, d) in enumerate(zip(branches, rates))
-            ]
+        if self.fuse_branches:
+            kernels = [self.param(f'spp_dw{i}', kaiming_init, (3, 3, 1, n),
+                                  jnp.float32) for i in range(self.k)]
+            outs = self._fused_dw(reduced, kernels, rates, self.stride)
+            branches = []
+            for b in outs:                       # hierarchical feature fusion
+                branches.append(b + branches[-1] if branches else b)
+            if self.sespv2:
+                v2 = [self.param(f'spp_dw_v2_{i}', kaiming_init, (3, 3, 1, n),
+                                 jnp.float32) for i in range(self.k)]
+                # v2 convolves the HFF outputs: stack them as the tiled input
+                stacked = jnp.concatenate(branches, axis=-1)
+                dmax = max(r + 1 for r in rates)
+                size = 2 * dmax + 1
+                big = jnp.concatenate(
+                    [_embed_dilated(kern.astype(x.dtype), d + 1, size)
+                     for kern, d in zip(v2, rates)], axis=-1)
+                import jax
+                out = jax.lax.conv_general_dilated(
+                    stacked, big, (1, 1), ((dmax, dmax), (dmax, dmax)),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=self.k * n)
+                branches = [out[..., i * n:(i + 1) * n]
+                            for i in range(self.k)]
+        else:
+            # reference-shaped path: one conv per branch
+            branches = []
+            for i, d in enumerate(rates):
+                kern = self.param(f'spp_dw{i}', kaiming_init, (3, 3, 1, n),
+                                  jnp.float32)
+                import jax
+                b = jax.lax.conv_general_dilated(
+                    reduced, kern.astype(reduced.dtype),
+                    (self.stride, self.stride), ((d, d), (d, d)),
+                    rhs_dilation=(d, d),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=n)
+                if branches:
+                    b = b + branches[-1]
+                branches.append(b)
+            if self.sespv2:
+                new = []
+                for i, (b, d) in enumerate(zip(branches, rates)):
+                    kern = self.param(f'spp_dw_v2_{i}', kaiming_init,
+                                      (3, 3, 1, n), jnp.float32)
+                    import jax
+                    new.append(jax.lax.conv_general_dilated(
+                        b, kern.astype(b.dtype), (1, 1),
+                        ((d + 1, d + 1), (d + 1, d + 1)),
+                        rhs_dilation=(d + 1, d + 1),
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        feature_group_count=n))
+                branches = new
 
         merged = jnp.concatenate(branches, axis=-1)
         merged = Norm2d(dict(type='BN'), name='br_after_cat_norm')(merged, train=train)
