@@ -15,3 +15,7 @@ from lednet_tpu.datasets.transforms.transforms import (CLAHE, AdjustGamma,
                                                        Albu, RandomMosaic,
                                                        ResizeShortestEdge)
 from lednet_tpu.datasets.transforms.fused import FusedRandomResizeCropFlip
+from lednet_tpu.datasets.transforms.biomedical import (
+    BioMedical3DPad, BioMedical3DRandomCrop, BioMedical3DRandomFlip,
+    BioMedicalGaussianBlur, BioMedicalGaussianNoise, BioMedicalRandomGamma,
+    LoadBiomedicalAnnotation, LoadBiomedicalImageFromFile)
