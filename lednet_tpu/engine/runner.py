@@ -55,6 +55,21 @@ class Runner:
     # ------------------------------------------------------------------ train
     def train(self, resume: bool = False):
         cfg = self.cfg
+        # preemption safety (SURVEY §5.3: new capability vs the reference):
+        # SIGTERM/SIGINT trigger a checkpoint save before exit, so TPU
+        # preemptions resume cleanly with --resume
+        import signal
+        preempted = {'flag': False}
+
+        def _on_term(signum, frame):
+            preempted['flag'] = True
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:
+                pass  # non-main thread
+
         train_cfg = cfg.get('train_cfg', {}) or {}
         max_iters = train_cfg.get('max_iters', 80000)
         val_interval = train_cfg.get('val_interval', 0)
@@ -101,6 +116,16 @@ class Runner:
         start = int(jax.device_get(self.state.step))
         t_last = time.time()
         for it in range(start, max_iters):
+            if preempted['flag']:
+                path = save_checkpoint(
+                    self.work_dir, self.state,
+                    meta=dict(dataset_meta=_json_meta(self.dataset_meta),
+                              preempted=True))
+                print(f'preempted: saved {path}; resume with --resume',
+                      flush=True)
+                for sig, h in old_handlers.items():
+                    signal.signal(sig, h)
+                return self.state
             if it > start:
                 batch = next(data_iter)
             inputs = shard_batch(jnp.asarray(batch['inputs']), self.mesh)
@@ -131,6 +156,8 @@ class Runner:
 
         save_checkpoint(self.work_dir, self.state,
                         meta=dict(dataset_meta=_json_meta(self.dataset_meta)))
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         return self.state
 
     # ---------------------------------------------------------------- val/test

@@ -183,3 +183,25 @@ def test_layer_decay_and_paramwise_masks():
     u_head = abs(float(updates['head']['conv']['kernel'][0, 0]))
     assert u_embed < u_b0 < u_b3 < u_head
     np.testing.assert_allclose(u_embed / u_head, 0.5 ** 5, rtol=1e-4)
+
+
+def test_preemption_checkpoint(pseudo_dataset, tmp_path):
+    """SIGTERM mid-training saves a resumable checkpoint."""
+    import os
+    import signal
+    import threading
+    work_dir = tmp_path / 'preempt'
+    cfg = _tiny_cfg(pseudo_dataset, work_dir)
+    cfg['train_cfg']['max_iters'] = 50
+    cfg['default_hooks']['checkpoint']['interval'] = 1000  # never on its own
+    runner = Runner(cfg, seed=0)
+    # deliver SIGTERM shortly after training starts
+    t = threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    t.start()
+    state = runner.train()
+    t.cancel()
+    step = int(state.step)
+    assert step < 50, 'training should have been preempted'
+    from lednet_tpu.engine.checkpoint import find_latest_checkpoint
+    latest = find_latest_checkpoint(str(work_dir))
+    assert latest is not None and f'iter_{step}' in latest
