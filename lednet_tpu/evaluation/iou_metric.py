@@ -63,6 +63,20 @@ class IoUMetric:
         self._totals = None
 
     def process(self, pred, label, num_classes: int):
+        if self.output_dir:
+            # reference `:output_dir` contract: dump prediction PNGs
+            import os
+            import cv2
+            os.makedirs(self.output_dir, exist_ok=True)
+            idx = getattr(self, '_dump_count', 0)
+            arr = np.asarray(pred)
+            for i in range(arr.shape[0] if arr.ndim == 3 else 1):
+                plane = arr[i] if arr.ndim == 3 else arr
+                cv2.imwrite(f'{self.output_dir}/pred_{idx + i:06d}.png',
+                            plane.astype(np.uint8))
+            self._dump_count = idx + (arr.shape[0] if arr.ndim == 3 else 1)
+        if self.format_only:
+            return
         counts = np.asarray(intersect_and_union(
             jnp.asarray(pred), jnp.asarray(label), num_classes,
             self.ignore_index), np.float64)

@@ -39,6 +39,12 @@ def main():
         # swap the test pipeline for the TTA pipeline (reference
         # tools/test.py:120-123)
         cfg['test_dataloader']['dataset']['pipeline'] = cfg['tta_pipeline']
+    if args.out:
+        # dump predictions through the metric (reference tools/test.py:126-128)
+        ev = dict(cfg.get('test_evaluator') or cfg.get('val_evaluator')
+                  or dict(type='IoUMetric'))
+        ev['output_dir'] = args.out
+        cfg['test_evaluator'] = ev
     runner = Runner(cfg, work_dir=work_dir)
     metrics = runner.test(args.checkpoint)
     print(json.dumps(metrics))
