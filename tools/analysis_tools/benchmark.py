@@ -85,7 +85,7 @@ def main():
                                       default_batch_size=1)
             if len(loader.dataset) == 0:
                 raise FileNotFoundError
-            frames = ({'inputs'} and (b['inputs'] for b in loader))
+            frames = (b['inputs'] for b in loader)
         except Exception:
             print('dataset unavailable; falling back to synthetic 720x1280')
             frames = synthetic_frames((720, 1280))

@@ -107,14 +107,7 @@ def main():
         for k in leftovers:
             print(f'  UNCONSUMED (torch): {k}')
 
-    # write back
-    def rebuild(tree, prefix=()):
-        if isinstance(tree, dict):
-            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
-        key = '/'.join(f"['{p}']" if False else str(p) for p in prefix)
-        return tree
-
-    # apply matches in-place on the flat dict then unflatten
+    # apply matches onto the param tree
     paths, treedef = jax.tree_util.tree_flatten_with_path(params)
     new_leaves = []
     for path, leaf in paths:
@@ -125,8 +118,9 @@ def main():
             new_leaves.append(leaf)
     params = jax.tree_util.tree_unflatten(treedef, new_leaves)
 
+    import os
     ocp.PyTreeCheckpointer().save(
-        args.out if args.out.startswith('/') else f'{__import__("os").getcwd()}/{args.out}',
+        os.path.abspath(args.out),
         dict(params=params, batch_stats=batch_stats, step=0))
     print(f'wrote {args.out}')
 
