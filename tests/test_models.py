@@ -116,3 +116,19 @@ def _ohem_reference(logits, labels, thres, min_kept):
     pixel_losses = pixel_losses[mask][ind]
     pixel_losses = pixel_losses[pred < threshold]
     return float(pixel_losses.mean())
+
+
+def test_sesp_fused_branches_equality(rng):
+    """The fused-branch experiment must stay numerically identical to the
+    reference-shaped per-branch path (same params)."""
+    from lednet_tpu.models.espnet import SESP
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 32)), np.float32)
+    for spatial, stride in [(True, 1), (False, 1), (False, 2)]:
+        fused = SESP(32, 32, stride=stride, spatial=spatial,
+                     fuse_branches=True)
+        plain = SESP(32, 32, stride=stride, spatial=spatial,
+                     fuse_branches=False)
+        variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+        a = fused.apply(variables, x, train=False)
+        b = plain.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
