@@ -90,7 +90,9 @@ def merge_a_into_b(a: Dict, b: Dict) -> Dict:
     for key, value in a.items():
         if isinstance(value, dict) and key in b and isinstance(b[key], dict) \
                 and not value.get(DELETE_KEY, False):
-            b[key] = merge_a_into_b(value, b[key])
+            merged = merge_a_into_b(value, b[key])
+            merged.pop(DELETE_KEY, None)  # `_delete_=False` must not leak
+            b[key] = merged
         else:
             if isinstance(value, dict):
                 value = {k: v for k, v in value.items() if k != DELETE_KEY}
