@@ -1,0 +1,41 @@
+# LED-Net on actual Cityscapes (19 classes) — the reference's config of this
+# name trains the 2-class branch dataset; this is the true-Cityscapes variant.
+_base_ = [
+    '../_base_/datasets/cityscapes_1024x1024.py',
+    '../_base_/default_runtime.py',
+    '../_base_/schedules/schedule_80k.py',
+]
+crop_size = (1024, 1024)
+data_preprocessor = dict(
+    type='SegDataPreProcessor',
+    size=crop_size,
+    mean=[123.675, 116.28, 103.53],
+    std=[58.395, 57.12, 57.375],
+    bgr_to_rgb=True,
+    pad_val=0,
+    seg_pad_val=255)
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    data_preprocessor=data_preprocessor,
+    backbone=dict(
+        type='LEDNet', in_channels=3, channels=32, ppm_channels=128,
+        norm_cfg=norm_cfg, align_corners=False),
+    decode_head=dict(
+        type='LEDHead', in_channels=128, channels=64, dropout_ratio=0.,
+        num_classes=19, align_corners=False, norm_cfg=norm_cfg,
+        loss_decode=[
+            dict(type='OhemCrossEntropy', thres=0.9, min_kept=131072,
+                 loss_weight=1.0),
+            dict(type='OhemCrossEntropy', thres=0.9, min_kept=131072,
+                 loss_weight=0.4),
+        ]),
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))
+train_dataloader = dict(batch_size=6, num_workers=4)
+iters = 120000
+param_scheduler = [
+    dict(type='PolyLR', eta_min=0, power=0.9, begin=0, end=iters,
+         by_epoch=False)
+]
+train_cfg = dict(max_iters=iters, val_interval=1000)
