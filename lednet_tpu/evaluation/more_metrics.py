@@ -102,4 +102,10 @@ class CityscapesMetric(IoUMetric):
                                  f'pred_{self._dump_idx:06d}.png'), arr)
             self._dump_idx += 1
         if not self.format_only:
-            super().process(pred, label, num_classes)
+            # suppress the base class's raw-trainId dump (ours wrote the
+            # official labelId files above)
+            out_dir, self.output_dir = self.output_dir, None
+            try:
+                super().process(pred, label, num_classes)
+            finally:
+                self.output_dir = out_dir
