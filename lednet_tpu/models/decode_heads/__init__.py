@@ -7,8 +7,10 @@ from lednet_tpu.models.decode_heads.context_heads import (ANNHead, APCHead,
 from lednet_tpu.models.decode_heads.fcn_head import FCNHead
 from lednet_tpu.models.decode_heads.ham_head import LightHamHead
 from lednet_tpu.models.decode_heads.led_head import DDRHead, LEDHead
-from lednet_tpu.models.decode_heads.maskformer_head import (KNetHead,
-                                                            Mask2FormerHead,
+from lednet_tpu.models.decode_heads.knet_head import (IterativeDecodeHead,
+                                                      KernelUpdateHead,
+                                                      KernelUpdator)
+from lednet_tpu.models.decode_heads.maskformer_head import (Mask2FormerHead,
                                                             MaskFormerHead)
 from lednet_tpu.models.decode_heads.pid_head import PIDHead
 from lednet_tpu.models.decode_heads.point_setr_heads import (DPTHead,
@@ -31,4 +33,5 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'DMHead', 'DNLHead', 'EMAHead', 'EncHead', 'GCHead', 'ISAHead',
            'SETRUPHead', 'CCHead', 'DAHead', 'PointHead', 'PSAHead', 'SETRMLAHead',
            'DPTHead', 'SegmenterMaskTransformerHead', 'MaskFormerHead',
-           'Mask2FormerHead', 'KNetHead']
+           'Mask2FormerHead', 'IterativeDecodeHead', 'KernelUpdateHead',
+           'KernelUpdator']

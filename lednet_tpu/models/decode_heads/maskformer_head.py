@@ -258,9 +258,3 @@ class Mask2FormerHead(MaskFormerHead):
     masked_attn: bool = True
 
 
-@MODELS.register_module()
-class KNetHead(MaskFormerHead):
-    """KNet's iterative kernel-update head shares the mask-classification
-    surface; served by the same query decoder here (divergence: no dynamic
-    kernel update module)."""
-    pass
