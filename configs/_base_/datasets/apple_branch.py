@@ -7,10 +7,12 @@ crop_size = (512, 512)
 train_pipeline = [
     dict(type='LoadImageFromFile'),
     dict(type='LoadAnnotations'),
-    dict(type='RandomResize', scale=(2048, 512), ratio_range=(0.5, 2.0),
-         keep_ratio=True),
-    dict(type='RandomCrop', crop_size=crop_size, cat_max_ratio=0.75),
-    dict(type='RandomFlip', prob=0.5),
+    # one native memory pass replacing RandomResize -> RandomCrop ->
+    # RandomFlip; same sampling distributions
+    # (tests/test_fused_aug_distribution.py)
+    dict(type='FusedRandomResizeCropFlip', scale=(2048, 512),
+         crop_size=crop_size, ratio_range=(0.5, 2.0), cat_max_ratio=0.75,
+         flip_prob=0.5),
     dict(type='PhotoMetricDistortion'),
     dict(type='PackSegInputs')
 ]

@@ -57,9 +57,27 @@ class DefaultSampler:
         return (self.size - self.rank + self.world_size - 1) // self.world_size
 
 
+def _pad_stack(arrs: List[np.ndarray], pad_val: int) -> np.ndarray:
+    """Stack, bottom/right-padding smaller samples to the batch max — the
+    reference pads per-sample in SegDataPreProcessor (``base.py:68-96``);
+    here the host collate does it so device batches stay static-shaped.
+    Hit when an aggressive down-ratio leaves a sample below crop_size."""
+    shapes = {a.shape for a in arrs}
+    if len(shapes) == 1:
+        return np.stack(arrs)
+    max_h = max(a.shape[0] for a in arrs)
+    max_w = max(a.shape[1] for a in arrs)
+    padded = []
+    for a in arrs:
+        pad = [(0, max_h - a.shape[0]), (0, max_w - a.shape[1])]
+        pad += [(0, 0)] * (a.ndim - 2)
+        padded.append(np.pad(a, pad, constant_values=pad_val))
+    return np.stack(padded)
+
+
 def collate(items: List[Dict]) -> Dict[str, Any]:
-    """Stack same-shaped samples; keep metas as a list. Variable-size test
-    samples (bs=1) stack trivially."""
+    """Stack samples; keep metas as a list. Smaller samples are padded to
+    the batch max (images with 0, labels with 255)."""
     batch: Dict[str, Any] = {}
     if 'tta_views' in items[0]:
         # TTA: bs=1, views carry their own inputs/metas
@@ -69,11 +87,13 @@ def collate(items: List[Dict]) -> Dict[str, Any]:
                     metainfo=[views[0]['metainfo']] if views else [{}],
                     gt_seg_map=(np.stack([views[0]['gt_seg_map']])
                                 if 'gt_seg_map' in views[0] else None))
-    batch['inputs'] = np.stack([it['inputs'] for it in items])
+    batch['inputs'] = _pad_stack([it['inputs'] for it in items], 0)
     if 'gt_seg_map' in items[0]:
-        batch['gt_seg_map'] = np.stack([it['gt_seg_map'] for it in items])
+        batch['gt_seg_map'] = _pad_stack([it['gt_seg_map'] for it in items],
+                                         255)
     if 'gt_edge_map' in items[0]:
-        batch['gt_edge_map'] = np.stack([it['gt_edge_map'] for it in items])
+        batch['gt_edge_map'] = _pad_stack([it['gt_edge_map'] for it in items],
+                                          255)
     batch['metainfo'] = [it['metainfo'] for it in items]
     return batch
 
