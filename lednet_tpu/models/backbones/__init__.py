@@ -19,11 +19,12 @@ from lednet_tpu.models.backbones.sctnet import SCTNet
 from lednet_tpu.models.backbones.stdc import (STDCContextPathNet, STDCModule,
                                               STDCNet)
 from lednet_tpu.models.backbones.twins import PCPVT, SVT
+from lednet_tpu.models.backbones.u2net import U2Net
 from lednet_tpu.models.backbones.unet import UNet
 from lednet_tpu.models.backbones.vit import SwinTransformer, VisionTransformer
 
 __all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'DSNet', 'ERFNet', 'FastSCNN', 'SCTNet',
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
-           'ResNetV1d', 'ResNeXt', 'ResNeSt', 'BEiT', 'MAE', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'UNet', 'PCPVT', 'SVT',
+           'ResNetV1d', 'ResNeXt', 'ResNeSt', 'BEiT', 'MAE', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'U2Net', 'UNet', 'PCPVT', 'SVT',
            'SwinTransformer', 'VisionTransformer']
