@@ -18,6 +18,8 @@ import time
 
 PRESETS = {
     'lednet': dict(type='LEDNet', channels=32, ppm_channels=128),
+    'lednet-wide': dict(type='LEDNet', channels=32, ppm_channels=128,
+                        mlp_ratio=4.0),
     'lednet-slim': dict(type='LEDNet', channels=32, ppm_channels=128,
                         stem_blocks=1, mlp_ratio=2.0),
     'ddrnet': dict(type='DDRNet', channels=32, ppm_channels=128),
