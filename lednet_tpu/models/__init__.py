@@ -11,3 +11,4 @@ from lednet_tpu.models.backbones import *  # noqa: F401,F403
 from lednet_tpu.models.decode_heads import *  # noqa: F401,F403
 from lednet_tpu.models.losses import *  # noqa: F401,F403
 from lednet_tpu.models.segmentors import *  # noqa: F401,F403
+from lednet_tpu.models.text_encoder import CLIPTextEncoder  # noqa: F401

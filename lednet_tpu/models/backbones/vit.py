@@ -8,7 +8,7 @@ ctor keys accepted).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ class _MHSA(nn.Module):
 
 @MODELS.register_module()
 class VisionTransformer(nn.Module):
-    img_size: int = 224
+    img_size: Any = 224  # int or (h, w), mmseg-config compatible
     patch_size: int = 16
     in_channels: int = 3
     embed_dims: int = 768
@@ -74,16 +74,19 @@ class VisionTransformer(nn.Module):
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(B, gh * gw, self.embed_dims)
 
-        n_base = (self.img_size // p)
+        if isinstance(self.img_size, (tuple, list)):
+            nb_h, nb_w = self.img_size[0] // p, self.img_size[1] // p
+        else:
+            nb_h = nb_w = self.img_size // p
         pos = self.param('pos_embed', nn.initializers.truncated_normal(0.02),
-                         (1, n_base * n_base + (1 if self.with_cls_token else 0),
+                         (1, nb_h * nb_w + (1 if self.with_cls_token else 0),
                           self.embed_dims), jnp.float32)
         if self.with_cls_token:
             cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
         else:
             cls_pos, grid_pos = None, pos
-        grid_pos = grid_pos.reshape(1, n_base, n_base, self.embed_dims)
-        if (gh, gw) != (n_base, n_base):
+        grid_pos = grid_pos.reshape(1, nb_h, nb_w, self.embed_dims)
+        if (gh, gw) != (nb_h, nb_w):
             grid_pos = resize_bilinear(grid_pos, (gh, gw), False)
         grid_pos = grid_pos.reshape(1, gh * gw, self.embed_dims)
 
@@ -109,9 +112,20 @@ class VisionTransformer(nn.Module):
             x = x + nn.Dense(self.embed_dims, name=f'b{i}_fc2')(m)
             if i in self.out_indices:
                 out = x[:, 1:] if self.with_cls_token else x
-                outs.append(out.reshape(B, gh, gw, self.embed_dims))
+                out = out.reshape(B, gh, gw, self.embed_dims)
+                if self.output_cls_token and self.with_cls_token:
+                    # (feature map, cls token) pairs — the contract SAN's
+                    # side adapter + mask recognition consume
+                    outs.append((out, x[:, 0]))
+                else:
+                    outs.append(out)
         if self.final_norm and outs:
-            outs[-1] = nn.LayerNorm(name='final_norm')(outs[-1])
+            if self.output_cls_token and self.with_cls_token:
+                feat, cls = outs[-1]
+                ln = nn.LayerNorm(name='final_norm')
+                outs[-1] = (ln(feat), ln(cls))
+            else:
+                outs[-1] = nn.LayerNorm(name='final_norm')(outs[-1])
         return tuple(outs)
 
 

@@ -13,6 +13,7 @@ from lednet_tpu.models.decode_heads.knet_head import (IterativeDecodeHead,
 from lednet_tpu.models.decode_heads.maskformer_head import (Mask2FormerHead,
                                                             MaskFormerHead)
 from lednet_tpu.models.decode_heads.pid_head import PIDHead
+from lednet_tpu.models.decode_heads.san_head import SideAdapterCLIPHead
 from lednet_tpu.models.decode_heads.point_setr_heads import (DPTHead,
                                                              PointHead,
                                                              PSAHead,
@@ -34,4 +35,4 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'SETRUPHead', 'CCHead', 'DAHead', 'PointHead', 'PSAHead', 'SETRMLAHead',
            'DPTHead', 'SegmenterMaskTransformerHead', 'MaskFormerHead',
            'Mask2FormerHead', 'IterativeDecodeHead', 'KernelUpdateHead',
-           'KernelUpdator']
+           'KernelUpdator', 'SideAdapterCLIPHead']

@@ -47,6 +47,59 @@ def _hungarian(cost: np.ndarray) -> np.ndarray:
     return out
 
 
+def _greedy_assign(cost):
+    """Device-native greedy assignment: repeatedly take the globally
+    cheapest (query, class) pair and retire its row/column. Not provably
+    optimal like scipy's Hungarian, but near-identical in practice for
+    C <= Q semantic matching — used only where host callbacks are
+    unavailable (the axon PJRT plugin rejects jax.pure_callback)."""
+    B, Q, C = cost.shape
+    big = jnp.asarray(1e9, cost.dtype)
+
+    def body(_, state):
+        cost, assign = state
+        idx = jnp.argmin(cost.reshape(B, Q * C), axis=-1)
+        q, c = idx // C, idx % C
+        bidx = jnp.arange(B)
+        assign = assign.at[bidx, c].set(q.astype(jnp.int32))
+        cost = cost.at[bidx, q, :].set(big)
+        cost = cost.at[bidx, :, c].set(big)
+        return cost, assign
+
+    assign = jnp.zeros((B, C), jnp.int32)
+    _, assign = jax.lax.fori_loop(0, C, body, (cost, assign))
+    return assign
+
+
+_HOST_CALLBACKS = None
+
+
+def _host_callbacks_supported() -> bool:
+    """Probe once whether the runtime supports jax.pure_callback under jit
+    (the axon-tunneled TPU plugin does not)."""
+    global _HOST_CALLBACKS
+    if _HOST_CALLBACKS is None:
+        try:
+            jax.jit(lambda x: jax.pure_callback(
+                lambda a: a, jax.ShapeDtypeStruct((), np.float32), x))(
+                    jnp.float32(0)).block_until_ready()
+            _HOST_CALLBACKS = True
+        except Exception:
+            _HOST_CALLBACKS = False
+    return _HOST_CALLBACKS
+
+
+def assign_queries(cost):
+    """(B, Q, C) cost -> (B, C) matched query per class: scipy Hungarian on
+    host when callbacks work, greedy on device otherwise."""
+    cost = jax.lax.stop_gradient(cost)
+    if _host_callbacks_supported():
+        return jax.pure_callback(
+            _hungarian, jax.ShapeDtypeStruct(cost.shape[::2], jnp.int32),
+            cost)
+    return _greedy_assign(cost)
+
+
 class _DecoderLayer(nn.Module):
     dim: int
     num_heads: int = 8
@@ -207,9 +260,7 @@ class MaskFormerHead(_HeadBase):
                 self.loss_mask_weight * bce_cost)
         cost = jnp.where(present[:, None, :], cost, 1e6)
 
-        assign = jax.pure_callback(
-            _hungarian, jax.ShapeDtypeStruct((B, C), jnp.int32),
-            jax.lax.stop_gradient(cost))                             # (B,C)
+        assign = assign_queries(cost)                                # (B,C)
 
         # classification loss: matched queries get their class, others
         # no-object (weighted down)

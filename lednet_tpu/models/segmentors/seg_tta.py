@@ -46,16 +46,3 @@ def merge_tta_probs(view_logits: Sequence[jnp.ndarray],
     else:
         pred = jnp.argmax(mean, axis=-1).astype(jnp.int32)
     return mean, pred
-
-
-@MODELS.register_module()
-class MultimodalEncoderDecoder:
-    """Gated stub: the reference's text+vision segmentor (SAN/CLIP,
-    ``mmseg/models/segmentors/multimodal_encoder_decoder.py``) requires CLIP
-    text-encoder weights that are not available in this environment (the
-    reference's own ``src/`` checkout is empty — SURVEY.md §0.5)."""
-
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            'MultimodalEncoderDecoder needs CLIP text-encoder weights; '
-            'provide them and implement the text branch before use')

@@ -32,6 +32,7 @@ def test_carafe_upsampler():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_multimodal_stub():
-    with pytest.raises(NotImplementedError):
-        MODELS.build(dict(type='MultimodalEncoderDecoder'))
+def test_multimodal_is_registered():
+    # the gated stub became a real segmentor (tests/test_san.py)
+    mod = MODELS.get('MultimodalEncoderDecoder')
+    assert mod is not None and hasattr(mod, 'predict')
