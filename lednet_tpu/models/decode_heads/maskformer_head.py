@@ -159,6 +159,9 @@ class MaskFormerHead(_HeadBase):
     loss_mask_weight: float = 5.0
     loss_dice_weight: float = 5.0
     no_object_weight: float = 0.1
+    # 'fpn' (TPU-first default) or 'msdeform' (mmdet's deformable-attention
+    # pixel decoder — architectural parity, gather-bound on TPU)
+    pixel_decoder: str = 'fpn'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
@@ -167,24 +170,34 @@ class MaskFormerHead(_HeadBase):
                                 self.align_corners))
         D = self.feat_channels
 
-        # pixel decoder: FPN laterals top-down to the finest level
-        laterals = [ConvModule(x.shape[-1], D, 1, norm_cfg=norm_cfg,
+        assert self.pixel_decoder in ('fpn', 'msdeform'), \
+            f"pixel_decoder must be 'fpn' or 'msdeform', got " \
+            f"'{self.pixel_decoder}'"
+        if self.pixel_decoder == 'msdeform':
+            from lednet_tpu.models.decode_heads.deform_pixel_decoder import \
+                MSDeformAttnPixelDecoder
+            mask_features, memory = MSDeformAttnPixelDecoder(
+                D, num_heads=self.num_heads,
+                name='pixel_decoder')(xs, train=train)
+        else:
+            # pixel decoder: FPN laterals top-down to the finest level
+            laterals = [ConvModule(x.shape[-1], D, 1, norm_cfg=norm_cfg,
+                                   act_cfg=dict(type='ReLU'),
+                                   name=f'lateral{i}')(x, train=train)
+                        for i, x in enumerate(xs)]
+            h = laterals[-1]
+            for i in range(len(laterals) - 2, -1, -1):
+                h = laterals[i] + resize_bilinear(h, laterals[i].shape[-3:-1],
+                                                  self.align_corners)
+                h = ConvModule(D, D, 3, padding=1, norm_cfg=norm_cfg,
                                act_cfg=dict(type='ReLU'),
-                               name=f'lateral{i}')(x, train=train)
-                    for i, x in enumerate(xs)]
-        h = laterals[-1]
-        for i in range(len(laterals) - 2, -1, -1):
-            h = laterals[i] + resize_bilinear(h, laterals[i].shape[-3:-1],
-                                              self.align_corners)
-            h = ConvModule(D, D, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=dict(type='ReLU'),
-                           name=f'fpn{i}')(h, train=train)
-        mask_features = ConvModule(D, D, 3, padding=1, norm_cfg=None,
-                                   act_cfg=None,
-                                   name='mask_feat')(h, train=train)
+                               name=f'fpn{i}')(h, train=train)
+            mask_features = ConvModule(D, D, 3, padding=1, norm_cfg=None,
+                                       act_cfg=None,
+                                       name='mask_feat')(h, train=train)
+            memory = laterals[-1]
 
         # transformer decoder over the coarsest memory
-        memory = laterals[-1]
         B, mh, mw, _ = memory.shape
         mem_tokens = memory.reshape(B, mh * mw, D)
         queries = self.param('query_embed',
