@@ -62,7 +62,7 @@ class MixFFN(nn.Module):
         x = nn.Dense(self.hidden_dim, name='fc1')(x)
         x = nn.Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=self.hidden_dim, name='dw')(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, name='fc2')(x)
 
 

@@ -52,7 +52,7 @@ class MSCABlock(nn.Module):
 
         h = Norm2d(dict(type='BN'), name='norm1')(x, train=train)
         h = nn.Conv(d, (1, 1), name='proj_1')(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = MSCAAttention(d, name='attn')(h)
         h = nn.Conv(d, (1, 1), name='proj_2')(h)
         x = x + ls1.astype(x.dtype) * h
@@ -62,7 +62,7 @@ class MSCABlock(nn.Module):
         h = nn.Conv(hidden, (1, 1), name='fc1')(h)
         h = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=hidden, name='dw')(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Conv(d, (1, 1), name='fc2')(h)
         return x + ls2.astype(x.dtype) * h
 

@@ -183,7 +183,7 @@ class BEiT(nn.Module):
             h = nn.LayerNorm(name=f'b{i}_norm2')(x)
             m = nn.Dense(self.embed_dims * self.mlp_ratio,
                          name=f'b{i}_fc1')(h)
-            m = nn.gelu(m)
+            m = nn.gelu(m, approximate=False)
             x = x + g2.astype(x.dtype) * nn.Dense(self.embed_dims,
                                                   name=f'b{i}_fc2')(m)
             if i in self.out_indices:

@@ -100,7 +100,7 @@ class CFBlock(nn.Module):
         h = Norm2d(dict(type='BN', eps=1e-6), name='mlp_norm')(x, train=train)
         h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=kaiming_init, name='mlp_conv1')(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=kaiming_init, name='mlp_conv2')(h)
         return x + h

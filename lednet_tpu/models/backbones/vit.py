@@ -108,7 +108,7 @@ class VisionTransformer(nn.Module):
             h = nn.LayerNorm(name=f'b{i}_norm2')(x)
             m = nn.Dense(self.embed_dims * self.mlp_ratio,
                          name=f'b{i}_fc1')(h)
-            m = nn.gelu(m)
+            m = nn.gelu(m, approximate=False)
             x = x + nn.Dense(self.embed_dims, name=f'b{i}_fc2')(m)
             if i in self.out_indices:
                 out = x[:, 1:] if self.with_cls_token else x
@@ -200,13 +200,15 @@ class SwinTransformer(nn.Module):
         from lednet_tpu.models.getb import _relative_position_index
         B, H, W, C = x.shape
         h = nn.LayerNorm(name=f'{name_prefix}_norm1')(x)
-        if shift:
-            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+        # reference order (``swin.py``/timm): pad to window multiples FIRST,
+        # then cyclic-shift — the wrap brings in real bottom/right content
         pad_h = (-H) % ws
         pad_w = (-W) % ws
         if pad_h or pad_w:
             h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         Hp, Wp = H + pad_h, W + pad_w
+        if shift:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
         nh, nw = Hp // ws, Wp // ws
         hd = C // heads
 
@@ -224,17 +226,35 @@ class SwinTransformer(nn.Module):
         idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
         bias = jnp.take(table, idx, axis=0).reshape(ws * ws, ws * ws, heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
+        if shift:
+            # shifted-window mask (reference ``swin.py`` img_mask): tokens
+            # wrapped across the cyclic shift must not attend each other
+            img_mask = np.zeros((Hp, Wp), np.int32)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -shift),
+                       slice(-shift, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -shift),
+                            slice(-shift, None)):
+                    img_mask[hs, wsl] = cnt
+                    cnt += 1
+            wins = img_mask.reshape(nh, ws, nw, ws).transpose(
+                0, 2, 1, 3).reshape(nh * nw, ws * ws)
+            amask = (wins[:, None, :] != wins[:, :, None]) * -100.0
+            amask = jnp.asarray(amask, attn.dtype)  # (nW, N, N)
+            attn = attn.reshape(B, nh * nw, heads, ws * ws, ws * ws)
+            attn = attn + amask[None, :, None]
+            attn = attn.reshape(B * nh * nw, heads, ws * ws, ws * ws)
         attn = nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.reshape(B, nh, nw, heads, ws, ws, hd)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, Hp, Wp, C)
-        out = out[:, :H, :W, :]
         if shift:
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        out = out[:, :H, :W, :]
         out = nn.Dense(C, name=f'{name_prefix}_proj')(out)
         x = x + out
         h = nn.LayerNorm(name=f'{name_prefix}_norm2')(x)
         m = nn.Dense(C * self.mlp_ratio, name=f'{name_prefix}_fc1')(h)
-        m = nn.gelu(m)
+        m = nn.gelu(m, approximate=False)
         return x + nn.Dense(C, name=f'{name_prefix}_fc2')(m)

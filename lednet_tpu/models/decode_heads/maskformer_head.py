@@ -142,7 +142,7 @@ class _DecoderLayer(nn.Module):
         # FFN
         h = nn.LayerNorm(name='norm_ffn')(queries)
         m = nn.Dense(4 * D, name='fc1')(h)
-        return queries + nn.Dense(D, name='fc2')(nn.gelu(m))
+        return queries + nn.Dense(D, name='fc2')(nn.gelu(m, approximate=False))
 
 
 @MODELS.register_module()

@@ -273,7 +273,7 @@ class SegmenterMaskTransformerHead(_HeadBase):
             h = h + _MHSA(d, self.num_heads, name=f'b{i}_attn')(n1)
             n2 = nn.LayerNorm(name=f'b{i}_norm2')(h)
             m = nn.Dense(d * self.mlp_ratio, name=f'b{i}_fc1')(n2)
-            h = h + nn.Dense(d, name=f'b{i}_fc2')(nn.gelu(m))
+            h = h + nn.Dense(d, name=f'b{i}_fc2')(nn.gelu(m, approximate=False))
         h = nn.LayerNorm(name='norm_out')(h)
         patches, cls_tok = h[:, :H * W], h[:, H * W:]
         patches = nn.Dense(d, use_bias=False, name='patch_proj')(patches)

@@ -96,7 +96,7 @@ class _SANBlock(nn.Module):
                        preferred_element_type=jnp.float32).astype(v.dtype)
         x = x + nn.Dense(D, name='proj')(o.reshape(B, L, D))
         h = nn.LayerNorm(name='ln_2')(x)
-        m = nn.gelu(nn.Dense(self.mlp_ratio * D, name='fc1')(h))
+        m = nn.gelu(nn.Dense(self.mlp_ratio * D, name='fc1')(h), approximate=False)
         return x + nn.Dense(D, name='fc2')(m)
 
 
@@ -248,7 +248,7 @@ class RecWithAttnbias(nn.Module):
                        preferred_element_type=jnp.float32).astype(v.dtype)
         x = x + nn.Dense(D, name=f'b{i}_proj')(o.reshape(B, N, D))
         h = nn.LayerNorm(name=f'b{i}_ln2')(x)
-        m = nn.gelu(nn.Dense(self.mlp_ratio * D, name=f'b{i}_fc1')(h))
+        m = nn.gelu(nn.Dense(self.mlp_ratio * D, name=f'b{i}_fc1')(h), approximate=False)
         return x + nn.Dense(D, name=f'b{i}_fc2')(m)
 
 

@@ -10,6 +10,8 @@ an explicit SyncBN implementation.
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -61,7 +63,7 @@ def build_activation(act_cfg: Optional[Dict], channels: Optional[int] = None,
     if act_type == 'Sigmoid':
         return nn.sigmoid
     if act_type == 'GELU':
-        return nn.gelu
+        return functools.partial(nn.gelu, approximate=False)
     if act_type == 'SiLU' or act_type == 'Swish':
         return nn.silu
     if act_type == 'Hardswish':
