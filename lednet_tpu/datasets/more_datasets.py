@@ -234,3 +234,99 @@ class MultiImageMixDataset:
         out = self.pipeline(results)
         out.pop('dataset', None)
         return out
+
+
+@DATASETS.register_module()
+class PascalContextDataset59(BaseSegDataset):
+    """59-class PascalContext (reference ``pascal_context.py:64``):
+    ``reduce_zero_label`` fixed True (class 0 = background dropped)."""
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(59)),
+                    palette=_gray_palette(59))
+
+    def __init__(self, ann_file='', img_suffix='.jpg', seg_map_suffix='.png',
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         ann_file=ann_file,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASETS.register_module()
+class MapillaryDataset_v2(BaseSegDataset):
+    """Mapillary Vistas v2.0, 124 classes (reference ``mapillary.py:69``)."""
+    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(124)),
+                    palette=_gray_palette(124))
+
+    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class HSIDrive20Dataset(BaseSegDataset):
+    """HSI-Drive v2.0 hyperspectral driving dataset (reference
+    ``hsi_drive.py:14``): 25-band .npy images, 11 classes."""
+    METAINFO = dict(
+        classes=('unlabelled', 'road', 'road marks', 'vegetation',
+                 'painted metal', 'sky', 'concrete', 'pedestrian', 'water',
+                 'unpainted metal', 'glass'),
+        palette=[[0, 0, 0], [77, 77, 77], [255, 255, 255], [0, 255, 0],
+                 [255, 0, 0], [0, 0, 255], [102, 51, 0], [255, 255, 0],
+                 [0, 207, 250], [255, 166, 0], [0, 204, 204]])
+
+    def __init__(self, img_suffix='.npy', seg_map_suffix='.png', **kwargs):
+        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
+                         **kwargs)
+
+
+@DATASETS.register_module()
+class DecathlonDataset(BaseSegDataset):
+    """Medical Segmentation Decathlon (reference ``decathlon.py:13``):
+    file list + labels come from the task's ``dataset.json``; its extra
+    fields (modality, tensorImageSize, ...) merge into metainfo."""
+
+    def load_data_list(self):
+        import copy
+        import json
+        import os.path as osp
+        with open(self.ann_file) as f:
+            annotations = json.load(f)
+        if not isinstance(annotations, dict):
+            raise TypeError('dataset.json must hold a dict, got '
+                            f'{type(annotations)}')
+        raw = annotations['test' if self.test_mode else 'training']
+        data_list = []
+        for info in raw:
+            if isinstance(info, dict):
+                data = dict(
+                    img_path=osp.join(self.data_root, info['image'][2:]),
+                    seg_map_path=osp.join(self.data_root, info['label'][2:]))
+            else:
+                data = dict(img_path=osp.join(self.data_root, info)[2:])
+            data['label_map'] = None
+            data['reduce_zero_label'] = self.reduce_zero_label
+            data['seg_fields'] = []
+            data_list.append(data)
+        annotations.pop('training')
+        annotations.pop('test')
+        metainfo = copy.deepcopy(annotations)
+        metainfo['classes'] = [*metainfo['labels'].values()]
+        for k, v in metainfo.items():
+            self._metainfo.setdefault(k, v)
+        return data_list
+
+
+@DATASETS.register_module()
+class DSDLSegDataset(BaseSegDataset):
+    """DSDL-described dataset (reference ``dsdl.py:15``) — gated on the
+    optional ``dsdl`` package, exactly as the reference gates it."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import dsdl  # noqa: F401
+        except ImportError:
+            raise RuntimeError(
+                'Package dsdl is not installed. Please run "pip install '
+                'dsdl".')
+        raise NotImplementedError(
+            'dsdl is not available in this environment; install it and file '
+            'an issue if you need the DSDL loader wired up.')

@@ -26,6 +26,8 @@ from lednet_tpu.models.decode_heads.stdc_head import STDCHead
 from lednet_tpu.models.decode_heads.uper_ocr import (DepthwiseSeparableFCNHead,
                                                      LRASPPHead, NLHead,
                                                      OCRHead, UPerHead)
+from lednet_tpu.models.decode_heads.vpd_depth_head import (VPDDepthDecoder,
+                                                           VPDDepthHead)
 
 __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'ASPPHead', 'DepthwiseSeparableASPPHead', 'SegformerHead',
@@ -35,4 +37,5 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'SETRUPHead', 'CCHead', 'DAHead', 'PointHead', 'PSAHead', 'SETRMLAHead',
            'DPTHead', 'SegmenterMaskTransformerHead', 'MaskFormerHead',
            'Mask2FormerHead', 'IterativeDecodeHead', 'KernelUpdateHead',
-           'KernelUpdator', 'SideAdapterCLIPHead']
+           'KernelUpdator', 'SideAdapterCLIPHead', 'VPDDepthDecoder',
+           'VPDDepthHead']

@@ -155,3 +155,38 @@ def test_pascal_context_gates_cleanly(tmp_path):
     r = run('pascal_context.py', str(tmp_path), str(tmp_path / 'x.json'))
     assert r.returncode != 0
     assert 'detail' in (r.stdout + r.stderr).lower()
+
+
+def test_wider_dataset_registry_round2(tmp_path):
+    """New wave: PascalContext59 / Mapillary v2 / HSIDrive20 / Decathlon /
+    DSDL (gated) — reference mmseg/datasets/*.py parity."""
+    import json
+
+    from lednet_tpu.registry import DATASETS
+    import lednet_tpu
+    lednet_tpu.register_all_modules()
+    for n in ('PascalContextDataset59', 'MapillaryDataset_v2',
+              'HSIDrive20Dataset', 'DSDLSegDataset'):
+        assert n in DATASETS
+
+    # Decathlon: dataset.json drives the file list and metainfo
+    dj = dict(name='BRATS', modality={'0': 'FLAIR'},
+              labels={'0': 'background', '1': 'edema'},
+              training=[dict(image='./imagesTr/a.nii.gz',
+                             label='./labelsTr/a.nii.gz')],
+              test=['./imagesTs/b.nii.gz'])
+    ann = tmp_path / 'dataset.json'
+    ann.write_text(json.dumps(dj))
+    ds = DATASETS.build(dict(type='DecathlonDataset', data_root=str(tmp_path),
+                             ann_file=str(ann), lazy_init=False,
+                             serialize_data=False))
+    infos = ds.load_data_list()
+    assert len(infos) == 1
+    assert infos[0]['img_path'].endswith('imagesTr/a.nii.gz')
+    assert infos[0]['seg_map_path'].endswith('labelsTr/a.nii.gz')
+    assert ds.metainfo.get('classes') == ['background', 'edema']
+
+    # DSDL stays gated exactly like the reference
+    import pytest
+    with pytest.raises((RuntimeError, NotImplementedError)):
+        DATASETS.build(dict(type='DSDLSegDataset'))
