@@ -19,7 +19,8 @@ if _os.environ.get('JAX_PLATFORMS'):
     import jax as _jax
 
     try:
-        _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
+        if getattr(_jax.config, 'jax_platforms', None) is None:
+            _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
     except Exception:  # already initialized with a platform — leave it
         pass
 

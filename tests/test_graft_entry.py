@@ -22,3 +22,16 @@ def test_entry_builds():
     variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
     out = jax.jit(lambda v, x: model.apply(v, x, method='predict'))(variables, x)
     assert out.shape == (1, 64, 64, 2)
+
+
+def test_mesh_2d_helpers():
+    import jax
+    import pytest
+    from lednet_tpu.parallel.mesh import image_sharding, make_mesh_2d
+    mesh = make_mesh_2d(jax.devices()[:8], spatial=2)
+    assert mesh.axis_names == ('data', 'spatial')
+    assert mesh.devices.shape == (4, 2)
+    sh = image_sharding(mesh)
+    assert sh.spec == ('data', 'spatial')
+    with pytest.raises(ValueError):
+        make_mesh_2d(jax.devices()[:5], spatial=2)
