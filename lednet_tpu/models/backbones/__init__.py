@@ -15,6 +15,7 @@ from lednet_tpu.models.backbones.pidnet import PIDNet
 from lednet_tpu.models.backbones.resnet import ResNet, ResNetV1c, ResNetV1d
 from lednet_tpu.models.backbones.resnext import (BEiT, MAE, ResNeSt, ResNeXt,
                                                  TIMMBackbone, VPD)
+from lednet_tpu.models.backbones.rtformer import RTFormer
 from lednet_tpu.models.backbones.sctnet import SCTNet
 from lednet_tpu.models.backbones.stdc import (STDCContextPathNet, STDCModule,
                                               STDCNet)
@@ -27,4 +28,4 @@ __all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'DSNet', 'ERFNet', 'Fast
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
            'ResNetV1d', 'ResNeXt', 'ResNeSt', 'BEiT', 'MAE', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'U2Net', 'UNet', 'PCPVT', 'SVT',
-           'SwinTransformer', 'VisionTransformer']
+           'RTFormer', 'SwinTransformer', 'VisionTransformer']

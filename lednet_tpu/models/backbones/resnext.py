@@ -220,15 +220,3 @@ class VPD:
             'VPD depends on latent-diffusion/CLIP weights that are not '
             'available; see the reference requirements/multimodal.txt')
 
-
-@MODELS.register_module()
-class RTFormer:
-    """Gated stub: the reference's ``rtformer.py`` is itself a broken
-    13-line fragment (paddle-style ``nn.Parameter(learning_rate=...)`` in
-    torch syntax — it cannot execute); registered here so configs naming it
-    fail with an explanation rather than a missing-type error."""
-
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "RTFormer is a non-functional 13-line stub in the reference "
-            "repo; no behavior exists to reproduce")
