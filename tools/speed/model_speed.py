@@ -37,6 +37,10 @@ PRESETS = {
     'mscan-t': dict(type='MSCAN'),
     'mit-b0': dict(type='MixVisionTransformer', embed_dims=32,
                    num_layers=(2, 2, 2, 2)),
+    'rtformer-slim': dict(type='RTFormer', base_channels=32,
+                          high_channels=64),
+    'rtformer-base': dict(type='RTFormer', base_channels=64,
+                          high_channels=128),
 }
 
 
