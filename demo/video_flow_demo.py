@@ -75,15 +75,18 @@ def main():
             if not ok:
                 break
             gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            # keyframe every `interval` frames (interval=1 -> every frame,
+            # i.e. plain video_demo behavior); flow is only computed when a
+            # propagated frame is actually possible
+            need_key = seg is None or since_key + 1 >= args.keyframe_interval
             flow = None
-            if prev_gray is not None and seg is not None:
+            if not need_key:
                 flow = cv2.calcOpticalFlowFarneback(
                     prev_gray, gray, None, pyr_scale=0.5, levels=3,
                     winsize=15, iterations=3, poly_n=5, poly_sigma=1.2,
                     flags=0)
-            need_key = (seg is None or since_key >= args.keyframe_interval
-                        or (flow is not None
-                            and float(np.abs(flow).mean()) > args.flow_reset))
+                if float(np.abs(flow).mean()) > args.flow_reset:
+                    need_key = True  # scene cut: do not propagate across it
             if need_key:
                 result = inference_model(model, frame)
                 seg = np.asarray(result['pred_sem_seg'], np.uint8)

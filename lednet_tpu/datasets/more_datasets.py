@@ -288,7 +288,9 @@ class DecathlonDataset(BaseSegDataset):
         import copy
         import json
         import os.path as osp
-        with open(self.ann_file) as f:
+        # ann_file is data_root-relative like every other dataset
+        # (basesegdataset.py load_data_list resolves via _join)
+        with open(self._join(self.ann_file)) as f:
             annotations = json.load(f)
         if not isinstance(annotations, dict):
             raise TypeError('dataset.json must hold a dict, got '

@@ -133,6 +133,7 @@ class RTFormerBlock(nn.Module):
     cross_size: int = 12
     stride: int = 2
     norm_cfg: Optional[Dict] = None
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x_h, x_l, train: bool = False):
@@ -157,7 +158,8 @@ class RTFormerBlock(nn.Module):
         comp = ConvModule(self.low_out, self.high_channels, 1,
                           norm_cfg=norm_cfg, act_cfg=None,
                           name='compression')(x_l, train=train)
-        x_h = x_h + resize_bilinear(comp, x_h.shape[-3:-1], False)
+        x_h = x_h + resize_bilinear(comp, x_h.shape[-3:-1],
+                                    self.align_corners)
         return x_h, x_l
 
 
@@ -219,11 +221,13 @@ class RTFormer(nn.Module):
         x_h, x_l = RTFormerBlock(4 * c, 8 * c, ch, self.num_heads,
                                  self.num_tokens, self.cross_size, stride=2,
                                  norm_cfg=norm_cfg,
+                                 align_corners=self.align_corners,
                                  name='block4')(x_h, x_l, train=train)
         x_h4 = x_h
         x_h, x_l = RTFormerBlock(8 * c, 8 * c, ch, self.num_heads,
                                  self.num_tokens, self.cross_size, stride=1,
                                  norm_cfg=norm_cfg,
+                                 align_corners=self.align_corners,
                                  name='block5')(x_h, x_l, train=train)
 
         spp = DAPPM(8 * c, self.ppm_channels, ch, num_scales=5,

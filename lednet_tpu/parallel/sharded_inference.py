@@ -20,6 +20,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lednet_tpu.parallel.mesh import make_mesh
 
 
+# identity-keyed (flax modules with dict-valued fields are unhashable);
+# entries hold the model alive so ids cannot be recycled under us
+_STEP_CACHE = {}
+
+
+def _build_step(model, preprocessor):
+    """One jitted step per (model, preprocessor) pair — a fresh closure per
+    call would force a full GSPMD recompile for every image."""
+    key = (id(model), id(preprocessor))
+    cached = _STEP_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+
+    @jax.jit
+    def step(variables, x):
+        if preprocessor is not None:
+            x, _, _ = preprocessor(x, None, training=False)
+        return model.apply(variables, x, method='predict')
+
+    _STEP_CACHE[key] = (step, model, preprocessor)
+    return step
+
+
 def sharded_predict(model, variables, images, mesh: Optional[Mesh] = None,
                     preprocessor=None, spatial_axis: str = 'spatial',
                     multiple: int = 32):
@@ -52,13 +75,7 @@ def sharded_predict(model, variables, images, mesh: Optional[Mesh] = None,
     images = jax.device_put(images, image_sh)
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def step(variables, x):
-        if preprocessor is not None:
-            x, _, _ = preprocessor(x, None, training=False)
-        return model.apply(variables, x, method='predict')
-
-    logits = step(variables, images)
+    logits = _build_step(model, preprocessor)(variables, images)
     if pad_h or pad_w:
         logits = logits[:, :h, :w, :]
     return logits

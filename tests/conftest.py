@@ -6,7 +6,9 @@ Note: the env var alone is not enough under the axon TPU plugin — the explicit
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# hard override (not setdefault): the launch shell may carry
+# JAX_PLATFORMS=axon, and entry points enforce the env var via jax.config
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()

@@ -177,8 +177,9 @@ def test_wider_dataset_registry_round2(tmp_path):
               test=['./imagesTs/b.nii.gz'])
     ann = tmp_path / 'dataset.json'
     ann.write_text(json.dumps(dj))
+    # ann_file is data_root-relative (the standard dataset convention)
     ds = DATASETS.build(dict(type='DecathlonDataset', data_root=str(tmp_path),
-                             ann_file=str(ann), lazy_init=False,
+                             ann_file='dataset.json', lazy_init=False,
                              serialize_data=False))
     infos = ds.load_data_list()
     assert len(infos) == 1
