@@ -85,7 +85,10 @@ def main():
                                       default_batch_size=1)
             if len(loader.dataset) == 0:
                 raise FileNotFoundError
-            frames = (b['inputs'] for b in loader)
+            # cycle: the timed loop draws warmup+num_iters frames, which can
+            # exceed a small dataset (the reference assumes len >= 205)
+            import itertools
+            frames = itertools.cycle(b['inputs'] for b in loader)
         except Exception:
             print('dataset unavailable; falling back to synthetic 720x1280')
             frames = synthetic_frames((720, 1280))
