@@ -16,8 +16,8 @@ model = dict(
     backbone=dict(type='SCTNet', base_channels=64, spp_channels=128,
                   num_heads=8),
     decode_head=dict(
-        type='FCNHead', in_channels=256, in_index=0, channels=128,
-        num_convs=1, concat_input=False, dropout_ratio=0.1, num_classes=19,
+        type='SCTHead', in_channels=256, in_index=0, channels=128,
+        dropout_ratio=0.1, num_classes=19,
         norm_cfg=norm_cfg, align_corners=False,
         loss_decode=dict(type='OhemCrossEntropy', thres=0.9,
                          min_kept=131072, loss_weight=1.0)),

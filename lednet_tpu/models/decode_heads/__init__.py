@@ -26,6 +26,7 @@ from lednet_tpu.models.decode_heads.stdc_head import STDCHead
 from lednet_tpu.models.decode_heads.uper_ocr import (DepthwiseSeparableFCNHead,
                                                      LRASPPHead, NLHead,
                                                      OCRHead, UPerHead)
+from lednet_tpu.models.decode_heads.fpn_sct_heads import FPNHead, SCTHead
 from lednet_tpu.models.decode_heads.vpd_depth_head import (VPDDepthDecoder,
                                                            VPDDepthHead)
 
@@ -38,4 +39,4 @@ __all__ = ['FCNHead', 'DDRHead', 'LEDHead', 'PIDHead', 'STDCHead', 'PSPHead',
            'DPTHead', 'SegmenterMaskTransformerHead', 'MaskFormerHead',
            'Mask2FormerHead', 'IterativeDecodeHead', 'KernelUpdateHead',
            'KernelUpdator', 'SideAdapterCLIPHead', 'VPDDepthDecoder',
-           'VPDDepthHead']
+           'VPDDepthHead', 'FPNHead', 'SCTHead']
