@@ -117,6 +117,9 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
     if constructor == 'LearningRateDecayOptimizerConstructor' or \
             'decay_rate' in paramwise_cfg:
         chain.append(layer_decay_scale(paramwise_cfg))
+    custom = paramwise_cfg.get('custom_keys') or {}
+    if any('lr_mult' in dict(v) for v in custom.values()):
+        chain.append(custom_lr_scale(custom))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule
 
@@ -165,18 +168,48 @@ def layer_decay_scale(paramwise_cfg: Dict):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def custom_lr_scale(custom_keys: Dict):
+    """Per-key ``lr_mult`` from ``paramwise_cfg.custom_keys`` (reference
+    DefaultOptimWrapperConstructor semantics: longest matching substring
+    wins)."""
+    import jax.tree_util as jtu
+    keys = sorted(custom_keys, key=len, reverse=True)
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def scale(path, u):
+            s = _path_str(path)
+            for k in keys:
+                if k.lower() in s:
+                    return u * dict(custom_keys[k]).get('lr_mult', 1.0)
+            return u
+
+        return jtu.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def paramwise_decay_mask(paramwise_cfg: Dict):
     """Weight-decay mask honoring ``norm_decay_mult`` / ``bias_decay_mult``
-    == 0 (reference ``force_default_constructor.py`` surface: norms and
-    biases opt out of decay)."""
+    == 0 and ``custom_keys`` ``decay_mult`` == 0 (reference
+    ``force_default_constructor.py`` / DefaultOptimWrapperConstructor
+    surface: norms, biases, and named keys opt out of decay)."""
     norm_mult = paramwise_cfg.get('norm_decay_mult', 1.0)
     bias_mult = paramwise_cfg.get('bias_decay_mult', 1.0)
+    custom = {k: dict(v) for k, v in
+              (paramwise_cfg.get('custom_keys') or {}).items()}
+    custom_order = sorted(custom, key=len, reverse=True)
 
     def mask(params):
         import jax.tree_util as jtu
 
         def leaf_mask(path, p):
             s = _path_str(path)
+            for k in custom_order:
+                if k.lower() in s and 'decay_mult' in custom[k]:
+                    return custom[k]['decay_mult'] != 0
             is_norm = any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
                                            'batchnorm', 'layernorm'))
             is_bias = s.endswith('/bias') or s.endswith('/b')

@@ -205,3 +205,37 @@ def test_preemption_checkpoint(pseudo_dataset, tmp_path):
     from lednet_tpu.engine.checkpoint import find_latest_checkpoint
     latest = find_latest_checkpoint(str(work_dir))
     assert latest is not None and f'iter_{step}' in latest
+
+
+def test_custom_keys_lr_mult_and_decay_mult():
+    """paramwise_cfg.custom_keys: lr_mult scales updates for matching keys;
+    decay_mult=0 opts them out of weight decay (reference
+    DefaultOptimWrapperConstructor semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from lednet_tpu.engine.optim import build_optimizer, paramwise_decay_mask
+
+    tx, _ = build_optimizer(
+        dict(optimizer=dict(type='SGD', lr=1.0),
+             paramwise_cfg=dict(custom_keys={
+                 'head': dict(lr_mult=10.0),
+                 'pos_block': dict(decay_mult=0.0)})),
+        [dict(type='ConstantLR', factor=1.0, begin=0, end=10)])
+    params = {'backbone': {'conv': {'kernel': jnp.ones((2,))}},
+              'head': {'conv': {'kernel': jnp.ones((2,))}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    ratio = float(updates['head']['conv']['kernel'][0] /
+                  updates['backbone']['conv']['kernel'][0])
+    assert np.isclose(ratio, 10.0)
+
+    mask_fn = paramwise_decay_mask(dict(custom_keys={
+        'pos_block': dict(decay_mult=0.0)}))
+    tree = {'pos_block': {'proj': {'kernel': jnp.ones(1)}},
+            'other': {'kernel': jnp.ones(1)}}
+    m = mask_fn(tree)
+    assert m['pos_block']['proj']['kernel'] is False
+    assert m['other']['kernel'] is True
