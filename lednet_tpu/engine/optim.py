@@ -95,13 +95,17 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
         elif 'clip_value' in clip:
             chain.append(optax.clip(clip['clip_value']))
 
-    decay_mask = paramwise_decay_mask(paramwise_cfg) if paramwise_cfg else None
+    def decay_transform(wd):
+        if paramwise_cfg:
+            return scaled_weight_decay(wd, paramwise_cfg)
+        return optax.add_decayed_weights(wd)
+
     if otype == 'SGD':
         wd = opt_cfg.pop('weight_decay', 0.0)
         momentum = opt_cfg.pop('momentum', 0.0)
         nesterov = opt_cfg.pop('nesterov', False)
         if wd:
-            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+            chain.append(decay_transform(wd))
         if momentum:
             chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif otype in ('Adam', 'AdamW'):
@@ -110,7 +114,7 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
         eps = opt_cfg.pop('eps', 1e-8)
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         if wd:
-            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+            chain.append(decay_transform(wd))
     else:
         raise ValueError(f'Unsupported optimizer: {otype}')
 
@@ -168,23 +172,79 @@ def layer_decay_scale(paramwise_cfg: Dict):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _match_custom_key(path_str: str, custom_order, custom):
+    """Longest matching custom key, or None. mmseg matches against dotted
+    ``module.param`` names — accept either separator."""
+    dotted = path_str.replace('/', '.')
+    for k in custom_order:
+        if k.lower() in dotted:
+            return custom[k]
+    return None
+
+
+def _decay_mult_fn(paramwise_cfg: Dict):
+    """Per-leaf weight-decay multiplier (reference
+    DefaultOptimWrapperConstructor / ``force_default_constructor.py``):
+    the longest matching ``custom_keys`` entry wins entirely (its
+    ``decay_mult`` defaulting to 1); otherwise norms use
+    ``norm_decay_mult``, biases ``bias_decay_mult``, else 1. Fractional
+    multipliers are honored, not coerced to 0/1."""
+    norm_mult = paramwise_cfg.get('norm_decay_mult', 1.0)
+    bias_mult = paramwise_cfg.get('bias_decay_mult', 1.0)
+    custom = {k: dict(v) for k, v in
+              (paramwise_cfg.get('custom_keys') or {}).items()}
+    custom_order = sorted(custom, key=len, reverse=True)
+
+    def mult(path) -> float:
+        s = _path_str(path)
+        hit = _match_custom_key(s, custom_order, custom)
+        if hit is not None:
+            return float(hit.get('decay_mult', 1.0))
+        is_norm = any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
+                                       'batchnorm', 'layernorm'))
+        if is_norm:
+            return float(norm_mult)
+        if s.endswith('/bias') or s.endswith('/b'):
+            return float(bias_mult)
+        return 1.0
+
+    return mult
+
+
+def scaled_weight_decay(wd: float, paramwise_cfg: Dict):
+    """``add_decayed_weights`` with a per-leaf multiplier instead of a
+    binary mask, so fractional ``decay_mult`` values behave as in mmseg."""
+    import jax.tree_util as jtu
+    mult = _decay_mult_fn(paramwise_cfg)
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError('scaled_weight_decay requires params')
+        updates = jtu.tree_map_with_path(
+            lambda path, u, p: u + wd * mult(path) * p, updates, params)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def custom_lr_scale(custom_keys: Dict):
     """Per-key ``lr_mult`` from ``paramwise_cfg.custom_keys`` (reference
     DefaultOptimWrapperConstructor semantics: longest matching substring
-    wins)."""
+    wins; dotted mmseg keys match the '/'-joined jax paths)."""
     import jax.tree_util as jtu
-    keys = sorted(custom_keys, key=len, reverse=True)
+    custom = {k: dict(v) for k, v in custom_keys.items()}
+    custom_order = sorted(custom, key=len, reverse=True)
 
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
         def scale(path, u):
-            s = _path_str(path)
-            for k in keys:
-                if k.lower() in s:
-                    return u * dict(custom_keys[k]).get('lr_mult', 1.0)
-            return u
+            hit = _match_custom_key(_path_str(path), custom_order, custom)
+            return u * hit.get('lr_mult', 1.0) if hit is not None else u
 
         return jtu.tree_map_with_path(scale, updates), state
 
@@ -192,33 +252,13 @@ def custom_lr_scale(custom_keys: Dict):
 
 
 def paramwise_decay_mask(paramwise_cfg: Dict):
-    """Weight-decay mask honoring ``norm_decay_mult`` / ``bias_decay_mult``
-    == 0 and ``custom_keys`` ``decay_mult`` == 0 (reference
-    ``force_default_constructor.py`` / DefaultOptimWrapperConstructor
-    surface: norms, biases, and named keys opt out of decay)."""
-    norm_mult = paramwise_cfg.get('norm_decay_mult', 1.0)
-    bias_mult = paramwise_cfg.get('bias_decay_mult', 1.0)
-    custom = {k: dict(v) for k, v in
-              (paramwise_cfg.get('custom_keys') or {}).items()}
-    custom_order = sorted(custom, key=len, reverse=True)
+    """Binary view of :func:`_decay_mult_fn` (kept for callers that need an
+    optax-style mask; multiplier 0 -> no decay)."""
+    mult = _decay_mult_fn(paramwise_cfg)
 
     def mask(params):
         import jax.tree_util as jtu
-
-        def leaf_mask(path, p):
-            s = _path_str(path)
-            for k in custom_order:
-                if k.lower() in s and 'decay_mult' in custom[k]:
-                    return custom[k]['decay_mult'] != 0
-            is_norm = any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
-                                           'batchnorm', 'layernorm'))
-            is_bias = s.endswith('/bias') or s.endswith('/b')
-            if is_norm and norm_mult == 0:
-                return False
-            if is_bias and bias_mult == 0:
-                return False
-            return True
-
-        return jtu.tree_map_with_path(leaf_mask, params)
+        return jtu.tree_map_with_path(lambda path, p: mult(path) != 0,
+                                      params)
 
     return mask

@@ -35,7 +35,8 @@ class _HeadMixin:
     def loss_by_feat(self, seg_logits, seg_label) -> Dict:
         return default_loss_by_feat(seg_logits, seg_label,
                                     build_losses(self.loss_decode),
-                                    self.align_corners, self.ignore_index)
+                                    self.align_corners, self.ignore_index,
+                                    sampler=self.sampler)
 
     def predict_by_feat(self, seg_logits, size=None):
         if size is None:
@@ -60,6 +61,7 @@ class FPNHead(nn.Module, _HeadMixin):
     out_channels: Optional[int] = None
     threshold: Optional[float] = None
     loss_decode: Optional[Dict] = None
+    sampler: Optional[Dict] = None
     init_cfg: Optional[Dict] = None
 
     @nn.compact
@@ -108,6 +110,7 @@ class SCTHead(nn.Module, _HeadMixin):
     out_channels: Optional[int] = None
     threshold: Optional[float] = None
     loss_decode: Optional[Dict] = None
+    sampler: Optional[Dict] = None
     init_cfg: Optional[Dict] = None
 
     @nn.compact
@@ -115,9 +118,10 @@ class SCTHead(nn.Module, _HeadMixin):
         norm_cfg = self.norm_cfg or dict(type='BN')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        x = Norm2d(norm_cfg, name='bn1')(x, train=train)
-        x = nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), padding=1, name='conv1')(x)
+        x = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                       norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+                       order=('norm', 'act', 'conv'),
+                       name='conv1')(x, train=train)
         x = Norm2d(norm_cfg, name='bn2')(x, train=train)
         x = nn.relu(x)
         return ClsSeg(self.channels, self.num_out_channels,

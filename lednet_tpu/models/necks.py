@@ -189,7 +189,9 @@ class MultiLevelNeck(nn.Module):
 class MLANeck(nn.Module):
     """SETR multi-level aggregation (reference ``necks/mla_neck.py``):
     token LayerNorm per level, 1x1 projection, top-down running sum
-    (p5 -> p2), 3x3 output convs; returns outputs in input order."""
+    (p5 -> p2), 3x3 output convs; outputs are deepest-first
+    [o(p5), o(p5+p4), ...] — matching the reference's actual forward
+    (its own comment claiming input order is wrong)."""
     in_channels: Sequence[int] = (1024, 1024, 1024, 1024)
     out_channels: int = 256
     norm_cfg: Optional[Dict] = None

@@ -239,3 +239,35 @@ def test_custom_keys_lr_mult_and_decay_mult():
     m = mask_fn(tree)
     assert m['pos_block']['proj']['kernel'] is False
     assert m['other']['kernel'] is True
+
+
+def test_custom_keys_fractional_decay_and_longest_match():
+    """mmseg parity: the longest matching custom key wins entirely (its
+    decay_mult defaulting to 1, overriding norm_decay_mult), fractional
+    decay_mult scales decay instead of being coerced to 0/1, and dotted
+    mmseg-style keys match '/'-joined paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lednet_tpu.engine.optim import scaled_weight_decay
+
+    # longest match 'head' has no decay_mult -> default 1 even though
+    # norm_decay_mult=0 would otherwise zero it
+    tx = scaled_weight_decay(0.1, dict(
+        norm_decay_mult=0.0,
+        custom_keys={'head': dict(lr_mult=10.0),
+                     'pos_block': dict(decay_mult=0.5),
+                     'decode_head.conv_seg': dict(decay_mult=0.0)}))
+    params = {'head': {'norm': {'scale': jnp.ones(1)}},
+              'backbone': {'norm': {'scale': jnp.ones(1)}},
+              'pos_block': {'proj': {'kernel': jnp.ones(1)}},
+              'decode_head': {'conv_seg': {'kernel': jnp.ones(1)}},
+              'plain': {'kernel': jnp.ones(1)}}
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, tx.init(params), params)
+    assert np.isclose(float(updates['head']['norm']['scale'][0]), 0.1)
+    assert np.isclose(float(updates['backbone']['norm']['scale'][0]), 0.0)
+    assert np.isclose(float(updates['pos_block']['proj']['kernel'][0]), 0.05)
+    assert np.isclose(
+        float(updates['decode_head']['conv_seg']['kernel'][0]), 0.0)
+    assert np.isclose(float(updates['plain']['kernel'][0]), 0.1)

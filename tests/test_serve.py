@@ -37,18 +37,22 @@ def test_serve_roundtrip(tmp_path):
         " pipeline=test_pipeline))\n")
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS='cpu')
+    # log to a file, not a pipe: an undrained pipe blocks the server once
+    # its startup logging exceeds the OS buffer
+    log_path = tmp_path / 'serve.log'
+    log = open(log_path, 'w')
     proc = subprocess.Popen(
         [sys.executable, osp.join(ROOT, 'tools', 'deployment', 'serve.py'),
          str(cfg), '--port', str(port), '--batch-size', '2',
          '--size', '64x64', '--max-delay-ms', '5'],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        stdout=log, stderr=subprocess.STDOUT, text=True, env=env)
     try:
         deadline = time.time() + 420
         health = None
         while time.time() < deadline:
             if proc.poll() is not None:
                 raise AssertionError(
-                    f'server died:\n{proc.stdout.read()[-2000:]}')
+                    f'server died:\n{log_path.read_text()[-2000:]}')
             try:
                 with urllib.request.urlopen(
                         f'http://127.0.0.1:{port}/healthz', timeout=2) as r:
@@ -75,3 +79,4 @@ def test_serve_roundtrip(tmp_path):
     finally:
         proc.kill()
         proc.wait()
+        log.close()

@@ -116,20 +116,6 @@ def test_resize_to_multiple(rng):
     assert h % 32 == 0 and w % 32 == 0
 
 
-class _FakeMosaicDataset:
-    """Minimal MultiImageMixDataset stand-in: get_data_info returns raw
-    file-less samples (img/gt already loaded)."""
-
-    def __init__(self, rng):
-        self.rng = rng
-
-    def __len__(self):
-        return 4
-
-    def get_data_info(self, idx):
-        return dict(img_path=None, seg_map_path=None)
-
-
 def test_random_mosaic_prob_zero_is_identity(rng):
     res = _results(rng)
     img = res['img'].copy()

@@ -85,10 +85,14 @@ def main():
                                       default_batch_size=1)
             if len(loader.dataset) == 0:
                 raise FileNotFoundError
-            # cycle: the timed loop draws warmup+num_iters frames, which can
-            # exceed a small dataset (the reference assumes len >= 205)
+            # cycle over at most warmup+num_iters frames: small datasets
+            # would exhaust a plain generator (the reference assumes
+            # len >= 205), and caching more would hold the whole decoded
+            # dataset in host memory on large ones
             import itertools
-            frames = itertools.cycle(b['inputs'] for b in loader)
+            need = args.num_iters + args.num_warmup + 1
+            frames = itertools.cycle(
+                itertools.islice((b['inputs'] for b in loader), need))
         except Exception:
             print('dataset unavailable; falling back to synthetic 720x1280')
             frames = synthetic_frames((720, 1280))
