@@ -14,7 +14,6 @@ import math
 from typing import Dict, Optional, Sequence, Union
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from lednet_tpu.models.decode_heads.base import (ClsSeg, build_losses,
                                                  default_loss_by_feat,
