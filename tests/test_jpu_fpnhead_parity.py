@@ -121,3 +121,33 @@ def test_fpn_head_matches_torch(rng):
         ref = cls(output)
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_vpd_depth_decoder_deconv_matches_torch(rng):
+    """flax ConvTranspose == torch ConvTranspose2d with the kernel spatially
+    flipped — pins the deconv convention the mmseg2jax converter relies on
+    for VPDDepthDecoder / Feature2Pyramid weights."""
+    import flax.linen as nn
+
+    x = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    mod = nn.ConvTranspose(5, (2, 2), strides=(2, 2), use_bias=False)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(mod.apply(v, jnp.asarray(x)))
+    k = np.asarray(v['params']['kernel'])  # (kh, kw, cin, cout)
+
+    t = tnn.ConvTranspose2d(3, 5, 2, 2, bias=False)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(
+            k[::-1, ::-1].transpose(2, 3, 0, 1).copy()))
+        ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
+
+    # and the converter's tensor rule inverts that exactly
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..',
+                                'tools', 'model_converters'))
+    from mmseg2jax import convert_tensor
+    back = convert_tensor('decoder.deconv_layers.0.weight', t.weight)
+    np.testing.assert_allclose(back, k, atol=1e-7)

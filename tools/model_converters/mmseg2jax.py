@@ -43,11 +43,24 @@ def torch_key_norm(key: str) -> str:
 def convert_tensor(name, tensor):
     import numpy as np
     arr = tensor.detach().cpu().numpy()
-    if arr.ndim == 4:        # conv OIHW -> HWIO
-        return np.transpose(arr, (2, 3, 1, 0))
+    if arr.ndim == 4:
+        if _is_deconv_key(name):
+            # torch ConvTranspose2d weight is (cin, cout, kh, kw) and flax
+            # ConvTranspose correlates (no kernel flip), so the torch kernel
+            # must be spatially flipped on top of the layout change
+            return np.transpose(arr, (2, 3, 0, 1))[::-1, ::-1]
+        return np.transpose(arr, (2, 3, 1, 0))  # conv OIHW -> HWIO
     if arr.ndim == 2:        # linear (out, in) -> (in, out)
         return arr.T
     return arr
+
+
+def _is_deconv_key(name: str) -> bool:
+    """Transposed-conv detection by key name (state dicts carry no layer
+    types; mmseg's deconv layers are named 'deconv*' / 'upsample_4x.0' /
+    'upsample_2x.0')."""
+    n = name.lower()
+    return 'deconv' in n or 'upsample_4x' in n or 'upsample_2x' in n
 
 
 def main():
