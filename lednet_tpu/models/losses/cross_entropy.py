@@ -103,6 +103,30 @@ class CrossEntropyLoss:
         return self.loss_weight * jnp.sum(loss) / jnp.maximum(denom, 1)
 
 
+def _kth_smallest(p_flat: jnp.ndarray, k) -> jnp.ndarray:
+    """Exact k-th (0-indexed) order statistic of a NONNEGATIVE f32 vector.
+
+    For nonnegative IEEE floats the bit pattern is monotone in the value, so
+    a 32-iteration integer binary search with a count-<= reduction per step
+    finds the exact k-th smallest without materializing a ``jnp.sort`` of
+    the flattened batch. Measured on the LED train step: same mean cost as
+    the sort but markedly lower variance (no 4 MB sorted copy).
+    """
+    from jax import lax
+    bits = lax.bitcast_convert_type(p_flat.astype(jnp.float32), jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2  # (lo+hi)//2 overflows int32 near the top
+        take_low = jnp.sum(bits <= mid) >= k + 1
+        return (jnp.where(take_low, lo, mid + 1),
+                jnp.where(take_low, mid, hi))
+
+    hi0 = lax.bitcast_convert_type(jnp.float32(3.0), jnp.int32)
+    lo, _ = lax.fori_loop(0, 32, body, (jnp.int32(0), hi0))
+    return lax.bitcast_convert_type(lo, jnp.float32)
+
+
 @MODELS.register_module()
 class OhemCrossEntropy:
     """Online hard example mining CE (PIDNet-style).
@@ -113,10 +137,11 @@ class OhemCrossEntropy:
     the loss is the mean CE over the kept set.
 
     TPU-native formulation: instead of torch's boolean-indexed sort/filter
-    (dynamic shapes), we sort the full static-size probability vector with
-    ignored pixels pushed to the tail (+2.0 > any probability) and read the
-    k-th order statistic with a dynamic index — one ``jnp.sort`` plus masked
-    reductions, fully jittable.
+    (dynamic shapes), ignored pixels are pushed past any probability (+2.0)
+    and the k-th order statistic is found EXACTLY by a 32-step binary search
+    on the monotone IEEE bit pattern of the nonnegative f32 values
+    (:func:`_kth_smallest`) — 32 masked count-reductions instead of a full
+    ``jnp.sort`` of the ~1M-pixel vector; same threshold bit-for-bit.
     """
 
     def __init__(self, ignore_label: int = 255, thres: float = 0.7,
@@ -142,9 +167,9 @@ class OhemCrossEntropy:
         p_flat = jnp.where(valid, p_gt, 2.0).reshape(-1)
 
         n_valid = jnp.sum(valid)
-        sorted_p = jnp.sort(p_flat)  # ascending; invalid (2.0) at the tail
         k = jnp.minimum(self.min_kept, jnp.maximum(n_valid - 1, 0))
-        min_value = sorted_p[jnp.minimum(k, p_flat.shape[0] - 1)]
+        min_value = _kth_smallest(p_flat,
+                                  jnp.minimum(k, p_flat.shape[0] - 1))
         threshold = jnp.maximum(min_value, self.thresh)
 
         keep = valid & (p_gt < threshold)

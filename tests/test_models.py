@@ -132,3 +132,23 @@ def test_sesp_fused_branches_equality(rng):
         a = fused.apply(variables, x, train=False)
         b = plain.apply(variables, x, train=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_kth_smallest_bisection_matches_sort():
+    """_kth_smallest must equal jnp.sort()[k] bit-for-bit, including ties
+    and the +2.0 ignore sentinels OHEM injects."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lednet_tpu.models.losses.cross_entropy import _kth_smallest
+    rng = np.random.default_rng(3)
+    fn = jax.jit(_kth_smallest)
+    for _ in range(5):
+        n = 20000
+        p = rng.uniform(0, 1, n).astype(np.float32)
+        p[rng.integers(0, n, 500)] = 0.25          # heavy ties
+        p[rng.integers(0, n, 200)] = 2.0           # sentinels
+        k = int(rng.integers(0, n))
+        want = float(np.sort(p)[k])
+        got = float(fn(jnp.asarray(p), jnp.int32(k)))
+        assert got == want
