@@ -100,3 +100,33 @@ def test_dappm_structure_finite(rng):
     out = mod.apply(variables, jnp.asarray(x), train=False)
     assert out.shape == (1, 16, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_focal_loss_matches_torchvision_formula(rng):
+    """Sigmoid focal loss vs the mmcv/torchvision closed form
+    FL = alpha_t (1-p_t)^gamma * BCE, computed independently in torch."""
+    import torch
+    import torch.nn.functional as F
+    from lednet_tpu.models.losses import FocalLoss
+
+    logits = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, (2, 8, 8)).astype(np.int32)
+    labels[0, 0, :3] = 255  # ignore pixels
+    gamma, alpha = 2.0, 0.25
+
+    ours = float(FocalLoss(gamma=gamma, alpha=alpha)(
+        jnp.asarray(logits), jnp.asarray(labels)))
+
+    x = torch.from_numpy(logits)
+    t = torch.from_numpy(labels.astype(np.int64))
+    valid = t != 255
+    one_hot = F.one_hot(torch.where(valid, t, torch.zeros_like(t)), 4).float()
+    p = torch.sigmoid(x)
+    pt = torch.where(one_hot == 1, p, 1 - p)
+    alpha_t = torch.where(one_hot == 1, torch.tensor(alpha),
+                          torch.tensor(1 - alpha))
+    bce = F.binary_cross_entropy_with_logits(x, one_hot, reduction='none')
+    focal = alpha_t * (1 - pt) ** gamma * bce
+    focal = focal * valid.unsqueeze(-1)
+    ref = float(focal.sum() / valid.sum())
+    assert np.isclose(ours, ref, atol=1e-5)
