@@ -515,8 +515,10 @@ class CCHead(_HeadBase):
         # (H) jointly (criss-cross footprint)
         row = jnp.einsum('bhwc,bhvc->bhwv', q, k)        # (B,H,W,W)
         col = jnp.einsum('bhwc,buwc->bhwu', q, k)        # (B,H,W,H)
-        # mask the duplicate self term in the column branch (reference adds
-        # -inf on the diagonal of one branch)
+        # the self pixel appears in both branches; the reference CCNet op
+        # adds -inf on the column-branch diagonal so it is counted once
+        self_mask = jnp.eye(H, dtype=bool)[None, :, None, :]  # u == h
+        col = jnp.where(self_mask, -jnp.inf, col)
         attn = nn.softmax(jnp.concatenate([row, col], axis=-1), axis=-1)
         attn = attn.astype(v.dtype)
         a_row, a_col = attn[..., :W], attn[..., W:]

@@ -130,3 +130,72 @@ def test_focal_loss_matches_torchvision_formula(rng):
     focal = focal * valid.unsqueeze(-1)
     ref = float(focal.sum() / valid.sum())
     assert np.isclose(ours, ref, atol=1e-5)
+
+
+def test_criss_cross_attention_matches_ccnet_torch(rng):
+    """CCHead (recurrence=1) vs a full torch twin implementing the published
+    CCNet formulation (q/k/v projections, -inf on the H-branch diagonal,
+    joint softmax over the row+column footprint, gamma-gated residual)."""
+    from lednet_tpu.models.decode_heads.context_heads import CCHead
+
+    B, H, W, C = 1, 5, 7, 16
+    feats = rng.standard_normal((B, H, W, C)).astype(np.float32)
+
+    head = CCHead(in_channels=C, channels=C, num_classes=2, recurrence=1,
+                  dropout_ratio=0.0)
+    x = jnp.asarray(feats)
+    variables = head.init(jax.random.PRNGKey(0), [x], train=False)
+    ours = head.apply(variables, [x], train=False)
+    p = jax.device_get(variables['params'])
+    s = jax.device_get(variables['batch_stats'])
+
+    def convbnrelu(pp, ss, t):
+        m = tnn.Sequential(tnn.Conv2d(t.shape[1], C, 3, 1, 1, bias=False),
+                           tnn.BatchNorm2d(C))
+        with torch.no_grad():
+            m[0].weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(pp['conv']['kernel']), (3, 2, 0, 1)).copy()))
+            m[1].weight.copy_(torch.from_numpy(
+                np.asarray(pp['norm']['bn']['scale']).copy()))
+            m[1].bias.copy_(torch.from_numpy(
+                np.asarray(pp['norm']['bn']['bias']).copy()))
+            m[1].running_mean.copy_(torch.from_numpy(
+                np.asarray(ss['norm']['bn']['mean']).copy()))
+            m[1].running_var.copy_(torch.from_numpy(
+                np.asarray(ss['norm']['bn']['var']).copy()))
+        m.eval()
+        with torch.no_grad():
+            return F.relu(m(t))
+
+    t = torch.from_numpy(feats.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t = convbnrelu(p['conv0'], s['conv0'], t)
+        f = t.permute(0, 2, 3, 1)                     # NHWC
+        wq = torch.from_numpy(np.asarray(p['cca0_q']['kernel']))
+        bq = torch.from_numpy(np.asarray(p['cca0_q']['bias']))
+        wk = torch.from_numpy(np.asarray(p['cca0_k']['kernel']))
+        bk = torch.from_numpy(np.asarray(p['cca0_k']['bias']))
+        wv = torch.from_numpy(np.asarray(p['cca0_v']['kernel']))
+        bv = torch.from_numpy(np.asarray(p['cca0_v']['bias']))
+        gamma = float(np.asarray(p['cca0_gamma']))
+        q = f @ wq + bq
+        k = f @ wk + bk
+        v = f @ wv + bv
+        row = torch.einsum('bhwc,bhvc->bhwv', q, k)
+        col = torch.einsum('bhwc,buwc->bhwu', q, k)
+        diag = torch.eye(H, dtype=torch.bool)[None, :, None, :]
+        col = col.masked_fill(diag, float('-inf'))
+        attn = torch.softmax(torch.cat([row, col], dim=-1), dim=-1)
+        a_row, a_col = attn[..., :W], attn[..., W:]
+        out = torch.einsum('bhwv,bhvc->bhwc', a_row, v) + \
+            torch.einsum('bhwu,buwc->bhwc', a_col, v)
+        f = f + gamma * out
+        t = convbnrelu(p['conv1'], s['conv1'], f.permute(0, 3, 1, 2))
+        cls = tnn.Conv2d(C, 2, 1)
+        cls.weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(p['cls']['conv_seg']['kernel']), (3, 2, 0, 1)).copy()))
+        cls.bias.copy_(torch.from_numpy(
+            np.asarray(p['cls']['conv_seg']['bias']).copy()))
+        ref = cls(t).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-5,
+                               rtol=1e-4)
