@@ -132,8 +132,12 @@ class PointHead(_HeadBase):
 
 @MODELS.register_module()
 class PSAHead(_HeadBase):
-    """Point-wise spatial attention (PSANet). mask_size bounds the working
-    resolution; 'bi-direction' collect+distribute is the default."""
+    """Point-wise spatial attention (PSANet). Documented divergence from the
+    mmcv ``PSAMask`` CUDA op: attention is global over all pixels instead of
+    the (2H-1, 2W-1) relative-position window, and the predicted map is a
+    plain n x n matrix. The collect/distribute duality is preserved:
+    distribute applies the transposed attention (information flows from each
+    pixel outward rather than into it)."""
     mask_size: Sequence[int] = (97, 97)
     psa_type: str = 'bi-direction'
     compact: bool = False
@@ -152,7 +156,7 @@ class PSAHead(_HeadBase):
         B, H, W, C = feats.shape
         n = H * W
 
-        def branch(name):
+        def branch(name, transpose=False):
             a = ConvModule(C, C // 2, 1, norm_cfg=norm_cfg, act_cfg=act_cfg,
                            name=f'{name}_proj')(feats, train=train)
             attn = nn.Conv(n, (1, 1), name=f'{name}_attn')(a)
@@ -160,12 +164,13 @@ class PSAHead(_HeadBase):
             if self.psa_softmax:
                 attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
             v = a.reshape(B, n, C // 2).astype(jnp.float32)
-            out = jnp.einsum('bnm,bmc->bnc', attn, v).astype(feats.dtype)
+            eq = 'bmn,bmc->bnc' if transpose else 'bnm,bmc->bnc'
+            out = jnp.einsum(eq, attn, v).astype(feats.dtype)
             return out.reshape(B, H, W, C // 2)
 
         collect = branch('collect')
         if self.psa_type == 'bi-direction':
-            distribute = branch('distribute')
+            distribute = branch('distribute', transpose=True)
             psa = jnp.concatenate([collect, distribute], axis=-1)
         else:
             psa = jnp.concatenate([collect, collect], axis=-1)
