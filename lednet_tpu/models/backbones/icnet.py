@@ -1,10 +1,13 @@
 """ICNet backbone.
 
-Behavioral spec: reference ``mmseg/models/backbones/icnet.py`` — a cascade
-image network: sub1 = three s2 convs on the full image (1/8); sub2 = the
-wrapped backbone's stem+stage1/2 on a 1/2-downsampled image; sub4 = the rest
-of the backbone + PSP pooling on a further 1/2 downsample. Returns
-(sub1, sub2, sub4) for the ICNeck.
+Behavioral spec: reference ``mmseg/models/backbones/icnet.py:12-166`` — a
+cascade image network: sub1 = three s2 convs on the full image (1/8);
+sub2 = the wrapped backbone's stem+stage1/2 on a 1/2-downsampled image,
+projected by ``conv_sub2``; sub4 = the backbone's stage3/4 RE-ENTERED on a
+further 1/2 downsample of the sub2 feature, PSP-pooled (per-scale 1x1
+convs, reference PPM), 3x3 bottleneck, projected by ``conv_sub4``. The
+wrapped backbone's stem maxpool runs in ceil mode (reference ``:72-74``).
+Returns (sub1, sub2, sub4) for the ICNeck.
 """
 from __future__ import annotations
 
@@ -39,7 +42,7 @@ class ICNet(nn.Module):
         act_cfg = self.act_cfg or dict(type='ReLU')
         mid = self.light_branch_middle_channels
 
-        # sub1: light branch on the full image -> 1/8
+        # sub1: light branch on the full image -> 1/8 (reference conv_sub1)
         h = ConvModule(self.in_channels, mid, 3, stride=2, padding=1,
                        norm_cfg=norm_cfg, act_cfg=act_cfg,
                        name='sub1_conv1')(x, train=train)
@@ -49,30 +52,36 @@ class ICNet(nn.Module):
                           norm_cfg=norm_cfg, act_cfg=act_cfg,
                           name='sub1_conv3')(h, train=train)
 
-        # sub2/sub4: shared heavy backbone on downsampled inputs
-        backbone = MODELS.build(dict(self.backbone_cfg))
+        # sub2: stem + stages 1-2 of the wrapped backbone on a 1/2 input
+        bb_cfg = dict(self.backbone_cfg)
+        bb_cfg.setdefault('ceil_maxpool', True)
+        backbone = MODELS.build(bb_cfg)
         half = resize_bilinear(x, (x.shape[1] // 2, x.shape[2] // 2),
                                self.align_corners)
-        outs = backbone(half, train=train)
-        sub2 = outs[1]                                 # stage-2 feature
-
-        quarter = resize_bilinear(sub2, (sub2.shape[1] // 2,
-                                         sub2.shape[2] // 2),
-                                  self.align_corners)
-        # continue with the deep stages on the pooled mid-feature: the
-        # reference re-enters the backbone's later layers; we approximate by
-        # running the full backbone and PSP-pooling its last stage
-        deep = backbone(resize_bilinear(half, (half.shape[1] // 2,
-                                               half.shape[2] // 2),
-                                        self.align_corners), train=train)[-1]
-        size = deep.shape[-3:-1]
-        psp_feats = [deep]
-        for s in self.pool_scales:
-            p = adaptive_avg_pool2d(deep, s)
-            psp_feats.append(resize_bilinear(p, size, self.align_corners))
-        psp = jnp.concatenate(psp_feats, axis=-1)
-        sub4 = ConvModule(psp.shape[-1], self.psp_out_channels, 1,
+        mid_feat = backbone(half, train=train, stage_range=(0, 2))[-1]
+        sub2 = ConvModule(mid_feat.shape[-1], self.out_channels[1], 1,
                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                          name='psp_bottleneck')(psp, train=train)
+                          name='conv_sub2')(mid_feat, train=train)
+
+        # sub4: re-enter stages 3-4 on the pooled mid feature, then PSP
+        quarter = resize_bilinear(mid_feat, (mid_feat.shape[1] // 2,
+                                             mid_feat.shape[2] // 2),
+                                  self.align_corners)
+        deep = backbone(quarter, train=train, stage_range=(2, 4))[-1]
+        size = deep.shape[-3:-1]
+        psp_outs = []
+        for si, s in enumerate(self.pool_scales):
+            p = adaptive_avg_pool2d(deep, s)
+            p = ConvModule(deep.shape[-1], self.psp_out_channels, 1,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'ppm{si}')(p, train=train)
+            psp_outs.append(resize_bilinear(p, size, self.align_corners))
+        psp = jnp.concatenate(psp_outs + [deep], axis=-1)
+        psp = ConvModule(psp.shape[-1], self.psp_out_channels, 3, padding=1,
+                         norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='psp_bottleneck')(psp, train=train)
+        sub4 = ConvModule(self.psp_out_channels, self.out_channels[2], 1,
+                          norm_cfg=norm_cfg, act_cfg=act_cfg,
+                          name='conv_sub4')(psp, train=train)
 
         return sub1, sub2, sub4

@@ -115,6 +115,9 @@ class ResNet(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[Dict] = None
     with_cp: bool = False
+    # ICNet patches the torch maxpool to ceil_mode=True
+    # (reference ``icnet.py:72-74``)
+    ceil_maxpool: bool = False
 
     arch_settings = {
         18: (_ResBasicBlock, (2, 2, 2, 2)),
@@ -125,12 +128,23 @@ class ResNet(nn.Module):
     }
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage_range=None):
+        """``stage_range=(lo, hi)`` runs only stages ``lo..hi-1`` (skipping
+        the stem when ``lo > 0``, with the input taken as the ``lo-1`` stage
+        feature) and returns those stages' outputs — the re-entry surface
+        ICNet needs (reference ``icnet.py:146-159`` calls
+        ``backbone.layer3/layer4`` directly)."""
         norm_cfg = self.norm_cfg or dict(type='BN')
         act = dict(type='ReLU')
         block_cls, stage_blocks = self.arch_settings[self.depth]
         expansion = block_cls.expansion
+        lo, hi = stage_range if stage_range is not None \
+            else (0, self.num_stages)
 
+        if lo > 0:
+            return self._stages(x, lo, hi, block_cls, stage_blocks,
+                                expansion, norm_cfg, train,
+                                collect_all=True)
         if self.deep_stem:
             mid = self.stem_channels // 2
             x = ConvModule(self.in_channels, mid, 3, stride=2, padding=1,
@@ -145,11 +159,26 @@ class ResNet(nn.Module):
             x = ConvModule(self.in_channels, self.stem_channels, 7, stride=2,
                            padding=3, norm_cfg=norm_cfg, act_cfg=act,
                            name='stem')(x, train=train)
+        if self.ceil_maxpool:
+            # ceil_mode: extra bottom/right padding so no edge is dropped
+            eh = (-(x.shape[1] + 2 - 3)) % 2
+            ew = (-(x.shape[2] + 2 - 3)) % 2
+            if eh or ew:
+                pad = jnp.finfo(x.dtype).min if jnp.issubdtype(
+                    x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+                x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)),
+                            constant_values=pad)
         x = max_pool2d(x, 3, 2, 1)
 
+        outs = self._stages(x, lo, hi, block_cls, stage_blocks, expansion,
+                            norm_cfg, train, collect_all=False)
+        return tuple(outs[i] for i in self.out_indices if lo <= i < hi)
+
+    def _stages(self, x, lo, hi, block_cls, stage_blocks, expansion,
+                norm_cfg, train, collect_all):
         outs = []
-        in_ch = self.stem_channels
-        for i in range(self.num_stages):
+        in_ch = x.shape[-1]
+        for i in range(lo, hi):
             planes = self.base_channels * 2 ** i
             stride = self.strides[i]
             dilation = self.dilations[i]
@@ -168,7 +197,10 @@ class ResNet(nn.Module):
                               name=f'layer{i + 1}_{j}')(x, train=train)
                 in_ch = planes * expansion
             outs.append(x)
-        return tuple(outs[i] for i in self.out_indices)
+        if collect_all:
+            return tuple(outs)
+        # pad the list so out_indices keep addressing absolute stage ids
+        return [None] * lo + outs
 
 
 @MODELS.register_module()
