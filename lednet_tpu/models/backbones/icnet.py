@@ -52,13 +52,22 @@ class ICNet(nn.Module):
                           norm_cfg=norm_cfg, act_cfg=act_cfg,
                           name='sub1_conv3')(h, train=train)
 
-        # sub2: stem + stages 1-2 of the wrapped backbone on a 1/2 input
+        # sub2: stem + stages 1-2 of the wrapped backbone on a 1/2 input.
+        # The faithful re-entry surface (stage_range, ceil-mode stem pool)
+        # exists on the ResNet family, which is the only backbone the
+        # reference's attribute access (.layer3/.layer4) supports either;
+        # other backbones fall back to two full generic passes.
         bb_cfg = dict(self.backbone_cfg)
-        bb_cfg.setdefault('ceil_maxpool', True)
+        is_resnet = 'ResNet' in str(bb_cfg.get('type', ''))
+        if is_resnet:
+            bb_cfg.setdefault('ceil_maxpool', True)
         backbone = MODELS.build(bb_cfg)
         half = resize_bilinear(x, (x.shape[1] // 2, x.shape[2] // 2),
                                self.align_corners)
-        mid_feat = backbone(half, train=train, stage_range=(0, 2))[-1]
+        if is_resnet:
+            mid_feat = backbone(half, train=train, stage_range=(0, 2))[-1]
+        else:
+            mid_feat = backbone(half, train=train)[1]
         sub2 = ConvModule(mid_feat.shape[-1], self.out_channels[1], 1,
                           norm_cfg=norm_cfg, act_cfg=act_cfg,
                           name='conv_sub2')(mid_feat, train=train)
@@ -67,7 +76,13 @@ class ICNet(nn.Module):
         quarter = resize_bilinear(mid_feat, (mid_feat.shape[1] // 2,
                                              mid_feat.shape[2] // 2),
                                   self.align_corners)
-        deep = backbone(quarter, train=train, stage_range=(2, 4))[-1]
+        if is_resnet:
+            deep = backbone(quarter, train=train, stage_range=(2, 4))[-1]
+        else:
+            half_half = resize_bilinear(half, (half.shape[1] // 2,
+                                               half.shape[2] // 2),
+                                        self.align_corners)
+            deep = backbone(half_half, train=train)[-1]
         size = deep.shape[-3:-1]
         psp_outs = []
         for si, s in enumerate(self.pool_scales):

@@ -143,8 +143,7 @@ class ResNet(nn.Module):
 
         if lo > 0:
             return self._stages(x, lo, hi, block_cls, stage_blocks,
-                                expansion, norm_cfg, train,
-                                collect_all=True)
+                                expansion, norm_cfg, train)
         if self.deep_stem:
             mid = self.stem_channels // 2
             x = ConvModule(self.in_channels, mid, 3, stride=2, padding=1,
@@ -171,11 +170,16 @@ class ResNet(nn.Module):
         x = max_pool2d(x, 3, 2, 1)
 
         outs = self._stages(x, lo, hi, block_cls, stage_blocks, expansion,
-                            norm_cfg, train, collect_all=False)
-        return tuple(outs[i] for i in self.out_indices if lo <= i < hi)
+                            norm_cfg, train)
+        if stage_range is not None:
+            # explicit range: the caller addresses stages directly;
+            # out_indices must not filter (ICNet needs the stage-2 feature
+            # whatever out_indices the wrapped config carries)
+            return outs
+        return tuple(outs[i] for i in self.out_indices)
 
     def _stages(self, x, lo, hi, block_cls, stage_blocks, expansion,
-                norm_cfg, train, collect_all):
+                norm_cfg, train):
         outs = []
         in_ch = x.shape[-1]
         for i in range(lo, hi):
@@ -197,10 +201,7 @@ class ResNet(nn.Module):
                               name=f'layer{i + 1}_{j}')(x, train=train)
                 in_ch = planes * expansion
             outs.append(x)
-        if collect_all:
-            return tuple(outs)
-        # pad the list so out_indices keep addressing absolute stage ids
-        return [None] * lo + outs
+        return tuple(outs)
 
 
 @MODELS.register_module()

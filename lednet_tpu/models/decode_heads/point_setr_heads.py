@@ -168,11 +168,15 @@ class PSAHead(_HeadBase):
             out = jnp.einsum(eq, attn, v).astype(feats.dtype)
             return out.reshape(B, H, W, C // 2)
 
-        collect = branch('collect')
         if self.psa_type == 'bi-direction':
+            collect = branch('collect')
             distribute = branch('distribute', transpose=True)
             psa = jnp.concatenate([collect, distribute], axis=-1)
-        else:
+        elif self.psa_type == 'distribute':
+            distribute = branch('distribute', transpose=True)
+            psa = jnp.concatenate([distribute, distribute], axis=-1)
+        else:  # 'collect'
+            collect = branch('collect')
             psa = jnp.concatenate([collect, collect], axis=-1)
         out = jnp.concatenate([feats, psa], axis=-1)
         out = ConvModule(out.shape[-1], self.channels, 3, padding=1,
