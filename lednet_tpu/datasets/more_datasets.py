@@ -2,6 +2,8 @@
 classes; each is METAINFO + suffix conventions over BaseSegDataset)."""
 from __future__ import annotations
 
+import os.path as osp
+
 from lednet_tpu.datasets.basesegdataset import BaseSegDataset
 from lednet_tpu.registry import DATASETS
 
@@ -191,6 +193,9 @@ class REFUGEDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class LEVIRCDDataset(BaseSegDataset):
+    """Change-detection pairs: ``data_prefix.img_path2`` points at the
+    second-epoch imagery; every item gains ``img_path2`` for
+    ``LoadMultipleRSImageFromFile`` (reference ``mmseg/datasets/levir.py``)."""
     METAINFO = dict(classes=('unchanged', 'changed'),
                     palette=[[0, 0, 0], [255, 255, 255]])
 
@@ -198,15 +203,103 @@ class LEVIRCDDataset(BaseSegDataset):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
                          **kwargs)
 
+    def load_data_list(self):
+        data_list = super().load_data_list()
+        prefix2 = self.data_prefix.get('img_path2')
+        if prefix2:
+            dir1 = self._join(self.data_prefix.get('img_path', ''))
+            dir2 = self._join(prefix2)
+            for item in data_list:
+                rel = osp.relpath(item['img_path'], dir1)
+                item['img_path2'] = osp.join(dir2, rel)
+        return data_list
+
 
 @DATASETS.register_module()
 class NYUDataset(BaseSegDataset):
-    """Depth-estimation layout (reference ``mmseg/datasets/nyu.py``)."""
+    """Depth-estimation layout (reference ``mmseg/datasets/nyu.py``):
+    ``data_prefix.depth_map_path`` is accepted as an alias of
+    ``seg_map_path`` and items expose ``depth_map_path`` for
+    ``LoadDepthAnnotation``."""
     METAINFO = dict(classes=('depth',), palette=[[0, 0, 0]])
 
-    def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
-        super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
-                         **kwargs)
+    def __init__(self, data_prefix=None, img_suffix='.jpg',
+                 seg_map_suffix='.png', **kwargs):
+        if data_prefix and 'depth_map_path' in data_prefix:
+            data_prefix = dict(data_prefix)
+            data_prefix['seg_map_path'] = data_prefix.pop('depth_map_path')
+        super().__init__(data_prefix=data_prefix, img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+    def load_data_list(self):
+        data_list = super().load_data_list()
+        for item in data_list:
+            if 'seg_map_path' in item:
+                item['depth_map_path'] = item['seg_map_path']
+            # NYU category from the parent folder name (reference keeps it
+            # in the meta keys as ``category_id``)
+            item['category_id'] = -1
+        return data_list
+
+
+def _build_dataset(dataset):
+    from lednet_tpu.registry import DATASETS as _D
+    return _D.build(dict(dataset)) if isinstance(dataset, dict) else dataset
+
+
+@DATASETS.register_module()
+class ConcatDataset:
+    """Concatenation wrapper (mmengine ConcatDataset role — the reference
+    uses it for VOC train+aug, ``pascal_voc12_aug.py``). Metainfo comes from
+    the first child."""
+
+    def __init__(self, datasets, lazy_init=False, ignore_keys=None, **kwargs):
+        self.datasets = [_build_dataset(d) for d in datasets]
+
+    @property
+    def metainfo(self):
+        return self.datasets[0].metainfo
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def _locate(self, idx):
+        for ds in self.datasets:
+            if idx < len(ds):
+                return ds, idx
+            idx -= len(ds)
+        raise IndexError(idx)
+
+    def __getitem__(self, idx):
+        ds, local = self._locate(idx)
+        return ds[local]
+
+    def get_data_info(self, idx):
+        ds, local = self._locate(idx)
+        return ds.get_data_info(local)
+
+
+@DATASETS.register_module()
+class RepeatDataset:
+    """Repeat wrapper (mmengine RepeatDataset role — the reference's retina
+    datasets train with ``times=40000`` over ~20 images)."""
+
+    def __init__(self, dataset, times=1, lazy_init=False, **kwargs):
+        self.dataset = _build_dataset(dataset)
+        self.times = times
+
+    @property
+    def metainfo(self):
+        return self.dataset.metainfo
+
+    def __len__(self):
+        return self.times * len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
+
+    def get_data_info(self, idx):
+        return self.dataset.get_data_info(idx % len(self.dataset))
 
 
 @DATASETS.register_module()

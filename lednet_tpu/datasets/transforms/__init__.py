@@ -1,14 +1,20 @@
 from lednet_tpu.datasets.transforms.formatting import PackSegInputs
 from lednet_tpu.datasets.transforms.tta import TestTimeAug
 from lednet_tpu.datasets.transforms.loading import (LoadAnnotations,
+                                                    LoadDepthAnnotation,
                                                     LoadImageFromFile,
-                                                    LoadImageFromNDArray)
+                                                    LoadImageFromNDArray,
+                                                    LoadMultipleRSImageFromFile)
 from lednet_tpu.datasets.transforms.transforms import (CLAHE, AdjustGamma,
-                                                       GenerateEdge,
+                                                       ConcatCDInput,
+                                                       GenerateEdge, Pad,
                                                        PhotoMetricDistortion,
-                                                       RandomCrop, RandomFlip,
+                                                       RandomCrop,
+                                                       RandomDepthMix,
+                                                       RandomFlip,
                                                        RandomResize,
-                                                       RandomRotate, Rerange,
+                                                       RandomRotate,
+                                                       RandomRotFlip, Rerange,
                                                        Resize,
                                                        ResizeToMultiple,
                                                        RGB2Gray, SegRescale,

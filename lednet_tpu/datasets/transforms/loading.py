@@ -94,6 +94,75 @@ class LoadAnnotations:
 
 
 @TRANSFORMS.register_module()
+class LoadDepthAnnotation:
+    """Depth-GT loader (reference ``loading.py:632``): reads a uint16 depth
+    PNG (cv2 backend) or a .npy array, scales by ``depth_rescale_factor`` and
+    registers ``gt_depth_map`` as a seg field so geometric transforms track
+    it. The factor is kept in ``results`` so the metric can invert it."""
+
+    def __init__(self, decode_backend: str = 'cv2', to_float32: bool = True,
+                 depth_rescale_factor: float = 1.0, backend_args=None):
+        self.decode_backend = decode_backend
+        self.to_float32 = to_float32
+        self.depth_rescale_factor = depth_rescale_factor
+
+    def __call__(self, results: Dict) -> Dict:
+        path = results.get('depth_map_path') or results['seg_map_path']
+        if self.decode_backend == 'numpy' or path.endswith('.npy'):
+            depth = np.load(path)
+        else:
+            depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if depth is None:
+                raise FileNotFoundError(path)
+        if self.to_float32:
+            depth = depth.astype(np.float32)
+        depth = depth * self.depth_rescale_factor
+        results['gt_depth_map'] = depth
+        results.setdefault('seg_fields', []).append('gt_depth_map')
+        results['depth_rescale_factor'] = self.depth_rescale_factor
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadMultipleRSImageFromFile:
+    """Paired loader for change detection (reference ``loading.py:561``):
+    reads ``img_path``/``img_path2`` into ``img``/``img2``. The reference
+    hard-requires gdal; we use gdal when importable and fall back to cv2
+    (LEVIR-CD ships plain PNGs), which is strictly more permissive."""
+
+    def __init__(self, to_float32: bool = True):
+        self.to_float32 = to_float32
+
+    def _read(self, path: str) -> np.ndarray:
+        try:
+            from osgeo import gdal
+            ds = gdal.Open(path)
+            if ds is None:
+                raise FileNotFoundError(path)
+            return np.einsum('ijk->jki', ds.ReadAsArray())
+        except ImportError:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(path)
+            return img
+
+    def __call__(self, results: Dict) -> Dict:
+        img = self._read(results['img_path'])
+        img2 = self._read(results['img_path2'])
+        if self.to_float32:
+            img = img.astype(np.float32)
+            img2 = img2.astype(np.float32)
+        if img.shape != img2.shape:
+            raise ValueError(
+                f'CD pair shapes differ: {img.shape} vs {img2.shape}')
+        results['img'] = img
+        results['img2'] = img2
+        results['img_shape'] = img.shape[:2]
+        results['ori_shape'] = img.shape[:2]
+        return results
+
+
+@TRANSFORMS.register_module()
 class LoadImageFromNpyFile(LoadImageFromFile):
     """Fork-added loader for .npy imagery (reference ``loading.py:709``)."""
 

@@ -214,6 +214,129 @@ class RandomRotate:
 
 
 @TRANSFORMS.register_module()
+class Pad:
+    """Bottom-right pad to a fixed ``size=(h, w)`` or to the next multiple of
+    ``size_divisor`` (mmcv Pad as used by the voc12_aug pipeline): image gets
+    ``pad_val``, seg fields get ``seg_pad_val`` (ignore)."""
+
+    def __init__(self, size=None, size_divisor=None, pad_val=0,
+                 seg_pad_val=255, pad_to_square=False):
+        assert (size is None) != (size_divisor is None), \
+            'exactly one of size / size_divisor must be set'
+        self.size = size
+        self.size_divisor = size_divisor
+        if isinstance(pad_val, dict):  # mmdet-style dict(img=., seg=.)
+            seg_pad_val = pad_val.get('seg', seg_pad_val)
+            pad_val = pad_val.get('img', 0)
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def _target(self, h, w):
+        if self.size is not None:
+            return max(self.size[0], h), max(self.size[1], w)
+        d = self.size_divisor
+        return -(-h // d) * d, -(-w // d) * d
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        th, tw = self._target(h, w)
+        pad = ((0, th - h), (0, tw - w)) + ((0, 0),) * (img.ndim - 2)
+        results['img'] = np.pad(img, pad, constant_values=self.pad_val)
+        results['pad_shape'] = (th, tw)
+        results['img_shape'] = (th, tw)
+        for key in results.get('seg_fields', []):
+            seg = results[key]
+            spad = ((0, th - seg.shape[0]), (0, tw - seg.shape[1])) \
+                + ((0, 0),) * (seg.ndim - 2)
+            results[key] = np.pad(seg, spad, constant_values=self.seg_pad_val)
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomRotFlip:
+    """Synapse-style augmentation (reference ``transforms.py:878``): with
+    ``rotate_prob`` rotate by a uniform angle in ``degree``; otherwise with
+    ``flip_prob`` apply a random k*90 rotation plus a random-axis flip."""
+
+    def __init__(self, rotate_prob=0.5, flip_prob=0.5, degree=(-20, 20)):
+        self.rotate_prob = rotate_prob
+        self.flip_prob = flip_prob
+        self.degree = (-degree, degree) if isinstance(degree, (int, float)) \
+            else tuple(degree)
+
+    def _rot90_flip(self, results):
+        k = np.random.randint(0, 4)
+        axis = np.random.randint(0, 2)
+        for key in ['img'] + list(results.get('seg_fields', [])):
+            arr = np.rot90(results[key], k)
+            results[key] = np.flip(arr, axis=axis).copy()
+        results['img_shape'] = results['img'].shape[:2]
+        return results
+
+    def _rotate(self, results):
+        angle = np.random.uniform(min(self.degree), max(self.degree))
+        h, w = results['img'].shape[:2]
+        mat = cv2.getRotationMatrix2D(((w - 1) * 0.5, (h - 1) * 0.5),
+                                      -angle, 1.0)
+        results['img'] = cv2.warpAffine(results['img'], mat, (w, h))
+        for key in results.get('seg_fields', []):
+            results[key] = cv2.warpAffine(results[key], mat, (w, h),
+                                          flags=cv2.INTER_NEAREST)
+        return results
+
+    def __call__(self, results: Dict) -> Dict:
+        if np.random.rand() < self.rotate_prob:
+            return self._rotate(results)
+        if np.random.rand() < self.flip_prob:
+            return self._rot90_flip(results)
+        return results
+
+
+@TRANSFORMS.register_module()
+class ConcatCDInput:
+    """Change-detection input fusion (reference ``transforms.py:2465``):
+    channel-concat the image pair into a single 6-channel ``img``."""
+
+    def __init__(self, input_keys=('img', 'img2')):
+        self.input_keys = tuple(input_keys)
+
+    def __call__(self, results: Dict) -> Dict:
+        results['img'] = np.concatenate(
+            [results.pop(k) for k in self.input_keys], axis=2)
+        return results
+
+
+@TRANSFORMS.register_module()
+class RandomDepthMix:
+    """Depth-estimation augmentation (reference ``transforms.py:2495``):
+    with ``prob``, paste a random vertical strip of the (unscaled) depth map
+    into every image channel."""
+
+    def __init__(self, prob: float = 0.25, mix_scale_ratio: float = 0.75):
+        self.prob = prob
+        self.mix_scale_ratio = mix_scale_ratio
+
+    def __call__(self, results: Dict) -> Dict:
+        if np.random.rand() > self.prob:
+            return results
+        h, w = results['img_shape'][:2]
+        left = int(w * np.random.rand())
+        width = int(max(1, (w - left) * self.mix_scale_ratio
+                        * np.random.rand()))
+        depth = results['gt_depth_map'] / results.get(
+            'depth_rescale_factor', 1)
+        img = results['img']
+        strip = depth[:, left:left + width]
+        if img.ndim == 3:
+            img[:, left:left + width, :] = strip[..., None]
+        else:
+            img[:, left:left + width] = strip
+        results['img'] = img
+        return results
+
+
+@TRANSFORMS.register_module()
 class PhotoMetricDistortion:
     """SSD-style photometric jitter in uint8 BGR/HSV space
     (reference ``transforms.py:583``)."""
@@ -457,7 +580,8 @@ class Albu:
     the albumentations package is unavailable the transform is a no-op with
     a one-time warning (the package is not part of this image)."""
 
-    def __init__(self, transforms, keymap=None, update_pad_shape=False):
+    def __init__(self, transforms, keymap=None, update_pad_shape=False,
+                 additional_targets=None, bgr_to_rgb=False, **kwargs):
         self.transforms = transforms
         self._warned = False
         try:
@@ -467,7 +591,8 @@ class Albu:
                 t = dict(t)
                 cls = getattr(albumentations, t.pop('type'))
                 built.append(cls(**t))
-            self._compose = albumentations.Compose(built)
+            self._compose = albumentations.Compose(
+                built, additional_targets=additional_targets)
         except Exception:
             self._compose = None
 
