@@ -1,0 +1,83 @@
+"""Every ``configs/_base_/datasets/*.py`` and ``configs/_base_/schedules/*.py``
+fragment must load standalone and name only registered components — these
+fragments are mostly consumed via ``_base_`` inheritance, so a typo in a
+rarely-inherited one (e.g. synapse, refuge) would otherwise go unnoticed
+(reference corpus: ``configs/_base_/`` in mmsegmentation)."""
+import glob
+import os.path as osp
+
+import pytest
+
+import lednet_tpu
+from lednet_tpu.config import Config
+from lednet_tpu.registry import DATASETS, METRICS, TRANSFORMS
+
+lednet_tpu.register_all_modules()
+
+CFG_DIR = osp.join(osp.dirname(__file__), '..', 'configs', '_base_')
+DATASET_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'datasets', '*.py')))
+SCHEDULE_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'schedules', '*.py')))
+assert DATASET_CFGS and SCHEDULE_CFGS
+
+
+def _pipeline_types(pipeline):
+    """Flatten transform type names, descending into TestTimeAug branches."""
+    names = []
+    for t in pipeline:
+        names.append(t['type'])
+        if t['type'] == 'Albu':  # inner names are albumentations classes
+            continue
+        for branch in t.get('transforms', []) or []:
+            sub = branch if isinstance(branch, list) else [branch]
+            names.extend(s['type'] for s in sub)
+    return names
+
+
+def _dataset_types(ds_cfg):
+    """Dataset type plus any wrapped child datasets (Concat/Repeat/mix)."""
+    out = [ds_cfg['type']]
+    for child in ds_cfg.get('datasets', []):
+        out.extend(_dataset_types(child))
+    if isinstance(ds_cfg.get('dataset'), dict):
+        out.extend(_dataset_types(ds_cfg['dataset']))
+    return out
+
+
+@pytest.mark.parametrize('cfg_path', DATASET_CFGS,
+                         ids=[osp.basename(p) for p in DATASET_CFGS])
+def test_dataset_fragment_resolves(cfg_path):
+    cfg = Config.fromfile(cfg_path)
+    for key in ('train_dataloader', 'val_dataloader', 'test_dataloader',
+                'val_evaluator', 'test_evaluator'):
+        assert key in cfg, f'{key} missing'
+    for loader_key in ('train_dataloader', 'val_dataloader'):
+        ds = cfg[loader_key]['dataset']
+        for name in _dataset_types(ds):
+            assert name in DATASETS, f'unregistered dataset {name}'
+        pipelines = [ds.get('pipeline')]
+        if isinstance(ds.get('dataset'), dict):
+            pipelines.append(ds['dataset'].get('pipeline'))
+        for pipe in pipelines:
+            if not pipe:
+                continue
+            for name in _pipeline_types(pipe):
+                assert name in TRANSFORMS, f'unregistered transform {name}'
+    ev = cfg['val_evaluator']
+    ev_list = ev if isinstance(ev, list) else [ev]
+    for e in ev_list:
+        assert e['type'] in METRICS, f'unregistered metric {e["type"]}'
+    # tta_pipeline, when present, must also resolve
+    for name in _pipeline_types(cfg.get('tta_pipeline', [])):
+        assert name in TRANSFORMS, f'unregistered TTA transform {name}'
+
+
+@pytest.mark.parametrize('cfg_path', SCHEDULE_CFGS,
+                         ids=[osp.basename(p) for p in SCHEDULE_CFGS])
+def test_schedule_fragment_resolves(cfg_path):
+    cfg = Config.fromfile(cfg_path)
+    assert cfg['optim_wrapper']['optimizer']['type'] in ('SGD', 'AdamW')
+    scheds = cfg['param_scheduler']
+    assert isinstance(scheds, list) and scheds
+    end = scheds[-1]['end']
+    assert cfg['train_cfg']['max_iters'] == end
+    assert cfg['default_hooks']['checkpoint']['interval'] > 0
