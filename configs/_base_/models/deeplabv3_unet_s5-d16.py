@@ -1,0 +1,32 @@
+# DEEPLABV3 head on a 5-stage UNet-S5-D16 encoder (retina-vessel family)
+# — reference configs/_base_/models/deeplabv3_unet_s5-d16.py semantics.
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+data_preprocessor = dict(
+    type='SegDataPreProcessor',
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375],
+    bgr_to_rgb=True, pad_val=0, seg_pad_val=255)
+model = dict(
+    type='EncoderDecoder',
+    data_preprocessor=data_preprocessor,
+    backbone=dict(
+        type='UNet', in_channels=3, base_channels=64, num_stages=5,
+        strides=(1, 1, 1, 1, 1), enc_num_convs=(2, 2, 2, 2, 2),
+        dec_num_convs=(2, 2, 2, 2), downsamples=(True, True, True, True),
+        enc_dilations=(1, 1, 1, 1, 1), dec_dilations=(1, 1, 1, 1),
+        with_cp=False, conv_cfg=None, norm_cfg=norm_cfg,
+        act_cfg=dict(type='ReLU'), upsample_cfg=dict(type='InterpConv'),
+        norm_eval=False),
+    decode_head=dict(
+        type='ASPPHead', in_channels=64, in_index=4, channels=16,
+        dilations=(1, 12, 24, 36), dropout_ratio=0.1, num_classes=2,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    auxiliary_head=dict(
+        type='FCNHead', in_channels=128, in_index=3, channels=64,
+        num_convs=1, concat_input=False, dropout_ratio=0.1, num_classes=2,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=0.4)),
+    train_cfg=dict(),
+    test_cfg=dict(mode='slide', crop_size=256, stride=170))

@@ -1,0 +1,16 @@
+# DNLNet (Disentangled Non-Local) — reference configs/_base_/models/dnl_r50-d8.py semantics.
+_base_ = './resnet50-d8.py'
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+model = dict(
+    decode_head=dict(
+        type='DNLHead', in_channels=2048, in_index=3, channels=512, reduction=2, use_scale=True, mode='embedded_gaussian',
+        dropout_ratio=0.1, num_classes=19,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    auxiliary_head=dict(
+        type='FCNHead', in_channels=1024, in_index=2, channels=256,
+        num_convs=1, concat_input=False, dropout_ratio=0.1, num_classes=19,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=0.4)))

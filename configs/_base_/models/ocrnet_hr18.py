@@ -1,0 +1,40 @@
+# OCRNet on HRNetV2-W18: FCN region head -> OCR head cascade — reference
+# configs/_base_/models/ocrnet_hr18.py semantics.
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+data_preprocessor = dict(
+    type='SegDataPreProcessor',
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375],
+    bgr_to_rgb=True, pad_val=0, seg_pad_val=255)
+model = dict(
+    type='CascadeEncoderDecoder',
+    num_stages=2,
+    data_preprocessor=data_preprocessor,
+    backbone=dict(
+        type='HRNet', norm_cfg=norm_cfg, norm_eval=False,
+        extra=dict(
+            stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                        num_blocks=(4,), num_channels=(64,)),
+            stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                        num_blocks=(4, 4), num_channels=(18, 36)),
+            stage3=dict(num_modules=4, num_branches=3, block='BASIC',
+                        num_blocks=(4, 4, 4), num_channels=(18, 36, 72)),
+            stage4=dict(num_modules=3, num_branches=4, block='BASIC',
+                        num_blocks=(4, 4, 4, 4),
+                        num_channels=(18, 36, 72, 144)))),
+    decode_head=[
+        dict(type='FCNHead', in_channels=[18, 36, 72, 144],
+             channels=sum([18, 36, 72, 144]), in_index=(0, 1, 2, 3),
+             input_transform='resize_concat', kernel_size=1, num_convs=1,
+             concat_input=False, dropout_ratio=-1, num_classes=19,
+             norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                              loss_weight=0.4)),
+        dict(type='OCRHead', in_channels=[18, 36, 72, 144],
+             in_index=(0, 1, 2, 3), input_transform='resize_concat',
+             channels=512, ocr_channels=256, dropout_ratio=-1,
+             num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                              loss_weight=1.0)),
+    ],
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))

@@ -1,6 +1,7 @@
 from lednet_tpu.models.backbones.bisenetv1 import BiSeNetV1
 from lednet_tpu.models.backbones.bisenetv2 import BiSeNetV2
 from lednet_tpu.models.backbones.cgnet import CGNet
+from lednet_tpu.models.backbones.convnext import ConvNeXt, PoolFormer
 from lednet_tpu.models.backbones.ddrnet import DDRNet
 from lednet_tpu.models.backbones.dsnet import DSNet, MFACB, SPASPP
 from lednet_tpu.models.backbones.erfnet import ERFNet
@@ -24,7 +25,8 @@ from lednet_tpu.models.backbones.u2net import U2Net
 from lednet_tpu.models.backbones.unet import UNet
 from lednet_tpu.models.backbones.vit import SwinTransformer, VisionTransformer
 
-__all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'DDRNet', 'DSNet', 'ERFNet', 'FastSCNN', 'SCTNet',
+__all__ = ['BiSeNetV1', 'BiSeNetV2', 'CGNet', 'ConvNeXt', 'PoolFormer',
+           'DDRNet', 'DSNet', 'ERFNet', 'FastSCNN', 'SCTNet',
            'HRNet', 'ICNet', 'LEDNet', 'MixVisionTransformer', 'MobileNetV2',
            'MobileNetV3', 'MSCAN', 'PIDNet', 'ResNet', 'ResNetV1c',
            'ResNetV1d', 'ResNeXt', 'ResNeSt', 'BEiT', 'MAE', 'STDCContextPathNet', 'STDCModule', 'STDCNet', 'U2Net', 'UNet', 'PCPVT', 'SVT',

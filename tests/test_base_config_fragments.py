@@ -10,14 +10,15 @@ import pytest
 
 import lednet_tpu
 from lednet_tpu.config import Config
-from lednet_tpu.registry import DATASETS, METRICS, TRANSFORMS
+from lednet_tpu.registry import DATASETS, METRICS, MODELS, TRANSFORMS
 
 lednet_tpu.register_all_modules()
 
 CFG_DIR = osp.join(osp.dirname(__file__), '..', 'configs', '_base_')
 DATASET_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'datasets', '*.py')))
 SCHEDULE_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'schedules', '*.py')))
-assert DATASET_CFGS and SCHEDULE_CFGS
+MODEL_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'models', '*.py')))
+assert DATASET_CFGS and SCHEDULE_CFGS and len(MODEL_CFGS) == 51
 
 
 def _pipeline_types(pipeline):
@@ -69,6 +70,30 @@ def test_dataset_fragment_resolves(cfg_path):
     # tta_pipeline, when present, must also resolve
     for name in _pipeline_types(cfg.get('tta_pipeline', [])):
         assert name in TRANSFORMS, f'unregistered TTA transform {name}'
+
+
+# Partial skeletons that cannot build standalone: resnet50-d8.py is the
+# shared encoder base (heads come from the inheriting fragment) and
+# vpd_sd.py mirrors the reference in omitting the decode head (the full
+# config adds it; the VPD backbone itself is gated on latent-diffusion).
+PARTIAL_MODEL_CFGS = {'resnet50-d8.py', 'vpd_sd.py'}
+
+
+@pytest.mark.parametrize('cfg_path', MODEL_CFGS,
+                         ids=[osp.basename(p) for p in MODEL_CFGS])
+def test_model_fragment_builds(cfg_path):
+    cfg = Config.fromfile(cfg_path)
+    assert 'model' in cfg
+    if osp.basename(cfg_path) in PARTIAL_MODEL_CFGS:
+        for key in ('backbone', 'data_preprocessor'):
+            sub = cfg.model.get(key)
+            if isinstance(sub, dict) and 'type' in sub:
+                scoped = sub['type'].rsplit('.', 1)[-1]
+                assert (sub['type'] in MODELS._module_dict
+                        or scoped in MODELS._module_dict)
+        return
+    model = MODELS.build(dict(cfg.model))
+    assert model is not None
 
 
 @pytest.mark.parametrize('cfg_path', SCHEDULE_CFGS,
