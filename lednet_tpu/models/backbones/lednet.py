@@ -51,10 +51,11 @@ class LEDNet(nn.Module):
     # reconstruction knobs (the upstream backbone is withheld; these let the
     # param/FLOP budget be tuned toward the paper's 1.661M / 9.2G without
     # changing the module inventory)
-    # defaults reproduce the paper's complexity almost exactly: with the
-    # LEDHead this measures 1.716M params / 9.72 GFLOPs @512x1024 (paper
-    # Table: 1.661M / 9.2G). mlp_ratio=4.0 gives a heavier 2.110M/10.27G
-    # variant; stem_blocks=1 + mlp_ratio=2.0 a slimmer 1.623M/7.30G one.
+    # defaults reproduce the paper's complexity: with the LEDHead (19-class
+    # cityscapes config) get_flops measures 1.728M params / 10.09 G-MACs
+    # @1280x720 (paper Table 8: 1.661M / 9.206G via thop, which skips the
+    # BN/resize/attention ops included in the XLA count). mlp_ratio=4.0
+    # gives a heavier variant; stem_blocks=1 a slimmer one.
     stem_blocks: int = 2
     mlp_ratio: float = 2.0
     init_cfg: Optional[Dict] = None

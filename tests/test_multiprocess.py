@@ -68,3 +68,49 @@ def test_two_process_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'proc{i} failed:\n{out}'
         assert f'proc{i} ok total=40.0' in out, out
+
+
+# ---------------------------------------------------------------------------
+# --launcher wiring (lednet_tpu/utils/dist.py)
+
+DIST_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, sys.argv[3])
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    os.environ['MASTER_ADDR'], os.environ['MASTER_PORT'] = sys.argv[1].split(':')
+    os.environ['WORLD_SIZE'] = '2'
+    os.environ['RANK'] = sys.argv[2]
+    from lednet_tpu.utils.dist import init_distributed
+    init_distributed('pytorch')
+    init_distributed('pytorch')   # idempotent second call
+    assert jax.process_count() == 2, jax.process_count()
+    print(f'proc{jax.process_index()} joined', flush=True)
+""")
+
+
+def test_launcher_pytorch_env_two_processes(tmp_path):
+    script = tmp_path / 'dist_worker.py'
+    script.write_text(DIST_WORKER)
+    addr = f'127.0.0.1:{_free_port()}'
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=2',
+               JAX_PLATFORMS='cpu')
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), addr, str(i), repo],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'proc{i} failed:\n{out}'
+        assert f'proc{i} joined' in out, out
+
+
+def test_launcher_noop_paths(monkeypatch):
+    from lednet_tpu.utils.dist import init_distributed
+    init_distributed('none')                      # no-op
+    monkeypatch.setenv('WORLD_SIZE', '1')
+    init_distributed('pytorch')                   # single process: no-op
+    monkeypatch.setenv('SLURM_NTASKS', '1')
+    init_distributed('slurm')                     # single-task slurm: no-op

@@ -68,3 +68,16 @@ train_dataloader = dict(
                     '--output-dir', str(out_dir), '--num-samples', '2'])
     assert out.returncode == 0, out.stderr[-1500:]
     assert (out_dir / 'sample_0.png').exists()
+
+
+def test_get_flops():
+    out = run_tool(['tools/analysis_tools/get_flops.py',
+                    'configs/LED_Net/lednet_80k_branch-512x1024.py',
+                    '--shape', '128', '128'])
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert 'Params:' in out.stdout
+    # both counting conventions printed, MAC = XLA/2
+    import re
+    xla = float(re.search(r'1 MAC = 2 flops\): ([\d.]+) G', out.stdout).group(1))
+    mac = float(re.search(r'MAC convention\): ([\d.]+) G', out.stdout).group(1))
+    assert abs(mac - xla / 2) < 0.01 and xla > 0

@@ -5,6 +5,16 @@ Reference analogue: ``tools/analysis_tools/get_flops.py`` (mmengine
 complexity info; fork default shape 1280x720 at ``:37-38``). Here the FLOP
 count comes from the compiled HLO's cost analysis — the number XLA actually
 schedules, not a per-module estimate.
+
+Counting conventions: mmengine (and thop, the paper's tool) report
+multiply-accumulates as "FLOPs"; XLA counts a MAC as 2 flops. We print both.
+The analysis runs on the CPU backend by default: the TPU backend's cost
+analysis charges convs at lane-padded width (depthwise/grouped convs with
+<128 channels get counted ~2.6x high on LED-Net), so the CPU count is the
+hardware-independent algorithmic number comparable to the reference's
+(measured: LED-Net @1280x720 = 10.09 G-MACs vs the paper's 9.206 G, the
+residue being BN/resize/attention ops thop does not count). Pass
+``--backend tpu`` for the device-scheduled count.
 """
 import os.path as osp
 import sys
@@ -20,12 +30,20 @@ def parse_args():
     p.add_argument('--shape', type=int, nargs='+', default=[1280, 720],
                    help='input image size (fork default 1280x720)')
     p.add_argument('--cfg-options', nargs='+', default=[])
+    p.add_argument('--backend', default='cpu', choices=['cpu', 'tpu', 'axon'],
+                   help='backend whose cost analysis to report (cpu = '
+                        'hardware-independent algorithmic count)')
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    import os
+    if args.backend == 'cpu':
+        os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
+    if args.backend == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import numpy as np
     import lednet_tpu
@@ -64,7 +82,8 @@ def main():
     print('=' * 40)
     print(f'Input shape: (1, {h}, {w}, 3)')
     print(f'Params: {n_params / 1e6:.3f} M')
-    print(f'FLOPs (XLA cost analysis): {flops / 1e9:.3f} G')
+    print(f'FLOPs (XLA cost analysis, 1 MAC = 2 flops): {flops / 1e9:.3f} G')
+    print(f'FLOPs (mmengine/thop MAC convention): {flops / 2e9:.3f} G')
     print('=' * 40)
 
 

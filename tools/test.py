@@ -28,8 +28,10 @@ def main():
     import lednet_tpu
     from lednet_tpu.config import Config
     from lednet_tpu.engine.runner import Runner
+    from lednet_tpu.utils.dist import init_distributed
 
     lednet_tpu.register_all_modules()
+    init_distributed(args.launcher)
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(dict(kv.split('=', 1) for kv in args.cfg_options))

@@ -3,8 +3,9 @@
 
 CLI mirrors the reference ``tools/train.py`` (config positional, --work-dir,
 --resume, --amp, --cfg-options). The mmengine Runner is replaced by the
-SPMD Runner (lednet_tpu/engine/runner.py); DDP launcher flags are accepted
-but ignored — parallelism is the jax device mesh, not process ranks.
+SPMD Runner (lednet_tpu/engine/runner.py). ``--launcher`` joins multi-host
+runs into one JAX coordination service (lednet_tpu/utils/dist.py) — within
+a host, parallelism is the device mesh, not process ranks.
 """
 import os.path as osp
 import sys
@@ -28,7 +29,8 @@ def parse_args():
                    help='override config entries: key=value (dotted keys ok)')
     p.add_argument('--launcher', default='none',
                    choices=['none', 'pytorch', 'slurm', 'mpi'],
-                   help='accepted for CLI compat; ignored (SPMD mesh)')
+                   help='multi-host coordination (one process per host; '
+                        'intra-host parallelism is the SPMD mesh)')
     p.add_argument('--local_rank', '--local-rank', type=int, default=0)
     p.add_argument('--seed', type=int, default=0)
     return p.parse_args()
@@ -39,8 +41,10 @@ def main():
     import lednet_tpu
     from lednet_tpu.config import Config
     from lednet_tpu.engine.runner import Runner
+    from lednet_tpu.utils.dist import init_distributed
 
     lednet_tpu.register_all_modules()
+    init_distributed(args.launcher)
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(dict(kv.split('=', 1) for kv in args.cfg_options))
