@@ -264,6 +264,11 @@ class ConcatDataset:
         return sum(len(d) for d in self.datasets)
 
     def _locate(self, idx):
+        total = len(self)
+        if idx < 0:
+            idx += total
+        if not 0 <= idx < total:
+            raise IndexError(idx)
         for ds in self.datasets:
             if idx < len(ds):
                 return ds, idx

@@ -132,19 +132,24 @@ class LoadMultipleRSImageFromFile:
 
     def __init__(self, to_float32: bool = True):
         self.to_float32 = to_float32
-
-    def _read(self, path: str) -> np.ndarray:
+        # resolve gdal once — a failed import is not cached by python, so
+        # retrying per read would pay the import machinery on the hot path
         try:
             from osgeo import gdal
-            ds = gdal.Open(path)
+            self._gdal = gdal
+        except ImportError:
+            self._gdal = None
+
+    def _read(self, path: str) -> np.ndarray:
+        if self._gdal is not None:
+            ds = self._gdal.Open(path)
             if ds is None:
                 raise FileNotFoundError(path)
             return np.einsum('ijk->jki', ds.ReadAsArray())
-        except ImportError:
-            img = cv2.imread(path, cv2.IMREAD_COLOR)
-            if img is None:
-                raise FileNotFoundError(path)
-            return img
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
 
     def __call__(self, results: Dict) -> Dict:
         img = self._read(results['img_path'])

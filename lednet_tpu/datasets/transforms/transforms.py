@@ -583,18 +583,25 @@ class Albu:
     def __init__(self, transforms, keymap=None, update_pad_shape=False,
                  additional_targets=None, bgr_to_rgb=False, **kwargs):
         self.transforms = transforms
+        # keymap: results key -> albumentations target name (reference
+        # transforms.py keymap_to_albu; default img/gt_seg_map mapping)
+        self.keymap = dict(keymap) if keymap else {'img': 'image',
+                                                   'gt_seg_map': 'mask'}
         self._warned = False
         try:
             import albumentations
-            built = []
-            for t in transforms:
-                t = dict(t)
-                cls = getattr(albumentations, t.pop('type'))
-                built.append(cls(**t))
-            self._compose = albumentations.Compose(
-                built, additional_targets=additional_targets)
-        except Exception:
+        except ImportError:
             self._compose = None
+            return
+        # build errors (typo'd type, bad kwarg) must propagate, not silently
+        # disable augmentation
+        built = []
+        for t in transforms:
+            t = dict(t)
+            cls = getattr(albumentations, t.pop('type'))
+            built.append(cls(**t))
+        self._compose = albumentations.Compose(
+            built, additional_targets=additional_targets)
 
     def __call__(self, results: Dict) -> Dict:
         if self._compose is None:
@@ -603,10 +610,12 @@ class Albu:
                 warnings.warn('albumentations not installed; Albu is a no-op')
                 self._warned = True
             return results
-        out = self._compose(image=results['img'],
-                            mask=results.get('gt_seg_map'))
-        results['img'] = out['image']
-        if out.get('mask') is not None:
-            results['gt_seg_map'] = out['mask']
+        # map every keymap'd key present (img2 etc. ride additional_targets)
+        inputs = {albu_k: results[k] for k, albu_k in self.keymap.items()
+                  if results.get(k) is not None}
+        out = self._compose(**inputs)
+        for k, albu_k in self.keymap.items():
+            if out.get(albu_k) is not None:
+                results[k] = out[albu_k]
         results['img_shape'] = results['img'].shape[:2]
         return results

@@ -18,7 +18,12 @@ CFG_DIR = osp.join(osp.dirname(__file__), '..', 'configs', '_base_')
 DATASET_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'datasets', '*.py')))
 SCHEDULE_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'schedules', '*.py')))
 MODEL_CFGS = sorted(glob.glob(osp.join(CFG_DIR, 'models', '*.py')))
-assert DATASET_CFGS and SCHEDULE_CFGS and len(MODEL_CFGS) == 51
+assert DATASET_CFGS and SCHEDULE_CFGS and MODEL_CFGS
+
+
+def test_model_fragment_inventory():
+    # the reference _base_/models corpus has 51 skeletons (SURVEY §2.11)
+    assert len(MODEL_CFGS) >= 51
 
 
 def _pipeline_types(pipeline):
@@ -44,6 +49,20 @@ def _dataset_types(ds_cfg):
     return out
 
 
+def _dataset_pipelines(ds_cfg):
+    """Every pipeline in a dataset cfg, descending into Concat/Repeat/mix
+    children (pascal_voc12_aug.py keeps its train pipeline inside
+    ConcatDataset's children)."""
+    out = []
+    if ds_cfg.get('pipeline'):
+        out.append(ds_cfg['pipeline'])
+    for child in ds_cfg.get('datasets', []):
+        out.extend(_dataset_pipelines(child))
+    if isinstance(ds_cfg.get('dataset'), dict):
+        out.extend(_dataset_pipelines(ds_cfg['dataset']))
+    return out
+
+
 @pytest.mark.parametrize('cfg_path', DATASET_CFGS,
                          ids=[osp.basename(p) for p in DATASET_CFGS])
 def test_dataset_fragment_resolves(cfg_path):
@@ -55,12 +74,9 @@ def test_dataset_fragment_resolves(cfg_path):
         ds = cfg[loader_key]['dataset']
         for name in _dataset_types(ds):
             assert name in DATASETS, f'unregistered dataset {name}'
-        pipelines = [ds.get('pipeline')]
-        if isinstance(ds.get('dataset'), dict):
-            pipelines.append(ds['dataset'].get('pipeline'))
+        pipelines = _dataset_pipelines(ds)
+        assert pipelines, f'no pipeline found in {loader_key}'
         for pipe in pipelines:
-            if not pipe:
-                continue
             for name in _pipeline_types(pipe):
                 assert name in TRANSFORMS, f'unregistered transform {name}'
     ev = cfg['val_evaluator']

@@ -199,3 +199,48 @@ def test_levir_pairs_and_nyu_depth_alias(tmp_path, rng):
         pipeline=[]))
     assert len(nyu) == 1
     assert nyu.get_data_info(0)['depth_map_path'].endswith('x.png')
+
+
+def test_concat_dataset_negative_index(tmp_path, rng):
+    _write_voc_tree(tmp_path, 3, rng)
+    child = dict(type='PascalVOCDataset', data_root=str(tmp_path),
+                 data_prefix=dict(img_path='JPEGImages',
+                                  seg_map_path='SegmentationClassPNG'),
+                 pipeline=[dict(type='LoadImageFromFile'),
+                           dict(type='LoadAnnotations'),
+                           dict(type='PackSegInputs')])
+    cat = DATASETS.build(dict(type='ConcatDataset',
+                              datasets=[dict(child), dict(child)]))
+    # -1 must resolve into the SECOND child's last item, not the first's
+    assert (cat.get_data_info(-1)['img_path']
+            == cat.datasets[1].get_data_info(2)['img_path'])
+    with pytest.raises(IndexError):
+        cat.get_data_info(6)
+    with pytest.raises(IndexError):
+        cat.get_data_info(-7)
+
+
+def test_albu_keymap_routes_every_target(rng):
+    from lednet_tpu.registry import TRANSFORMS
+    albu = TRANSFORMS.build(dict(
+        type='Albu', transforms=[],
+        keymap={'img': 'image', 'img2': 'image2', 'gt_seg_map': 'mask'},
+        additional_targets={'image2': 'image'}))
+
+    calls = {}
+
+    def fake_compose(**kw):
+        calls.update(kw)
+        # flip everything, as a geometric aug would (same op on all targets)
+        return {k: v[:, ::-1] for k, v in kw.items()}
+
+    albu._compose = fake_compose  # albumentations absent in this image
+    img = rng.integers(0, 255, (4, 6, 3), np.uint8)
+    img2 = rng.integers(0, 255, (4, 6, 3), np.uint8)
+    seg = rng.integers(0, 2, (4, 6), np.uint8)
+    res = albu(dict(img=img.copy(), img2=img2.copy(), gt_seg_map=seg.copy()))
+    # every keymap'd field was handed to albumentations and written back
+    assert set(calls) == {'image', 'image2', 'mask'}
+    np.testing.assert_array_equal(res['img'], img[:, ::-1])
+    np.testing.assert_array_equal(res['img2'], img2[:, ::-1])
+    np.testing.assert_array_equal(res['gt_seg_map'], seg[:, ::-1])

@@ -6,23 +6,19 @@
 # let `--launcher slurm` join the hosts via jax.distributed (whose cluster
 # detection reads the SLURM_* environment directly — no MASTER_ADDR plumbing).
 #
-# Usage: GPUS_PER_NODE is accepted for CLI compat and ignored.
-#   ./tools/slurm_train.sh PARTITION JOB_NAME CONFIG [WORK_DIR] [extra args]
+# Usage (same positional shape as the reference; GPUS_PER_NODE env is
+# accepted for compat and ignored — everything after CONFIG passes through
+# to train.py, e.g. --work-dir DIR --amp):
+#   ./tools/slurm_train.sh PARTITION JOB_NAME CONFIG [train.py args]
 set -x
 
 PARTITION=$1
 JOB_NAME=$2
 CONFIG=$3
-WORK_DIR=$4
 NODES=${NODES:-1}
 CPUS_PER_TASK=${CPUS_PER_TASK:-8}
 SRUN_ARGS=${SRUN_ARGS:-""}
-shift 4 || shift 3
-
-WORK_DIR_ARGS=()
-if [ -n "$WORK_DIR" ]; then
-    WORK_DIR_ARGS=(--work-dir "$WORK_DIR")
-fi
+shift 3
 
 PYTHONPATH="$(dirname $0)/..":$PYTHONPATH \
 srun -p "$PARTITION" \
@@ -33,5 +29,4 @@ srun -p "$PARTITION" \
     --cpus-per-task="$CPUS_PER_TASK" \
     --kill-on-bad-exit=1 \
     $SRUN_ARGS \
-    python -u "$(dirname $0)/train.py" "$CONFIG" \
-    "${WORK_DIR_ARGS[@]}" --launcher slurm "$@"
+    python -u "$(dirname $0)/train.py" "$CONFIG" --launcher slurm "$@"
