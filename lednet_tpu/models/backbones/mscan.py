@@ -50,11 +50,14 @@ class MSCABlock(nn.Module):
         ls2 = self.param('layer_scale_2', nn.initializers.constant(
             self.layer_scale_init), (d,), jnp.float32)
 
-        h = Norm2d(dict(type='BN'), name='norm1')(x, train=train)
-        h = nn.Conv(d, (1, 1), name='proj_1')(h)
+        hn = Norm2d(dict(type='BN'), name='norm1')(x, train=train)
+        h = nn.Conv(d, (1, 1), name='proj_1')(hn)
         h = nn.gelu(h, approximate=False)
         h = MSCAAttention(d, name='attn')(h)
         h = nn.Conv(d, (1, 1), name='proj_2')(h)
+        # MSCASpatialAttention adds its OWN shortcut of the normed input
+        # (reference mscan.py:210-216) before the layer-scaled outer residual
+        h = h + hn
         x = x + ls1.astype(x.dtype) * h
 
         h = Norm2d(dict(type='BN'), name='norm2')(x, train=train)

@@ -72,7 +72,12 @@ class ResNeXt(ResNet):
 
 
 class _SplitAttnBottleneck(nn.Module):
-    """ResNeSt split-attention bottleneck, radix 2."""
+    """ResNeSt split-attention bottleneck, radix 2 (reference
+    ``mmseg/models/backbones/resnest.py``): SplitAttentionConv2d runs at
+    stride 1 with ``inter_channels = max(width * radix // reduction_factor,
+    32)`` (``:73``); when ``stride > 1`` the stride is carried by an
+    ``AvgPool2d(3, stride, padding=1)`` avd layer AFTER it (``:185,216``,
+    ``avg_down_stride=True`` default)."""
     in_channels: int
     channels: int
     stride: int = 1
@@ -81,6 +86,7 @@ class _SplitAttnBottleneck(nn.Module):
     avg_down: bool = True
     norm_cfg: Optional[Dict] = None
     radix: int = 2
+    reduction_factor: int = 4
     expansion: int = 4
 
     @nn.compact
@@ -91,20 +97,22 @@ class _SplitAttnBottleneck(nn.Module):
         identity = x
         out = ConvModule(self.in_channels, width, 1, norm_cfg=norm_cfg,
                          act_cfg=dict(type='ReLU'), name='conv1')(x, train=train)
-        # radix-expanded grouped conv
-        out = ConvModule(width, width * r, 3, stride=self.stride,
-                         padding=self.dilation, dilation=self.dilation,
-                         groups=r, norm_cfg=norm_cfg,
+        # radix-expanded grouped conv, stride 1 (avd pool carries the stride)
+        out = ConvModule(width, width * r, 3, padding=self.dilation,
+                         dilation=self.dilation, groups=r, norm_cfg=norm_cfg,
                          act_cfg=dict(type='ReLU'), name='conv2')(out, train=train)
         B, H, W, _ = out.shape
         splits = out.reshape(B, H, W, r, width)
         gap = jnp.sum(splits, axis=3)
         gap = global_avg_pool(gap)
-        gap = ConvModule(width, max(width // 4, 32), 1, norm_cfg=norm_cfg,
+        inter = max(width * r // self.reduction_factor, 32)
+        gap = ConvModule(width, inter, 1, norm_cfg=norm_cfg,
                          act_cfg=dict(type='ReLU'), name='fc1')(gap, train=train)
         attn = nn.Conv(width * r, (1, 1), name='fc2')(gap)
         attn = nn.softmax(attn.reshape(B, 1, 1, r, width), axis=3)
         out = jnp.sum(splits * attn, axis=3)
+        if self.stride > 1:
+            out = avg_pool2d(out, 3, self.stride, 1)
         out = ConvModule(width, self.channels * self.expansion, 1,
                          norm_cfg=norm_cfg, act_cfg=None,
                          name='conv3')(out, train=train)

@@ -13,7 +13,7 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lednet_tpu.models.backbones.mit import EfficientAttention, MixFFN
+from lednet_tpu.models.backbones.mit import EfficientAttention
 from lednet_tpu.models.layers import kaiming_init
 from lednet_tpu.registry import MODELS
 
@@ -27,6 +27,20 @@ class _CPE(nn.Module):
         return x + nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                            feature_group_count=self.dim,
                            kernel_init=kaiming_init, name='proj')(x)
+
+
+class _FFN(nn.Module):
+    """Plain mmcv FFN (Linear-GELU-Linear, ``add_identity=False``) — the
+    reference's Twins layers use this (``twins.py:129-136,296-303``), NOT
+    SegFormer's MixFFN; residual is added by the caller."""
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_dim, name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, name='fc2')(x)
 
 
 @MODELS.register_module()
@@ -64,8 +78,8 @@ class PCPVT(nn.Module):
                                            self.sr_ratios[s], self.qkv_bias,
                                            name=f's{s}_b{b}_attn')(h, train=train)
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
-                x = x + MixFFN(dim, dim * self.mlp_ratios[s],
-                               name=f's{s}_b{b}_ffn')(h, train=train)
+                x = x + _FFN(dim, dim * self.mlp_ratios[s],
+                             name=f's{s}_b{b}_ffn')(h, train=train)
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:
@@ -102,8 +116,8 @@ class SVT(PCPVT):
                         dim, self.num_heads[s], self.sr_ratios[s],
                         self.qkv_bias, name=f's{s}_b{b}_attn')(h, train=train)
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
-                x = x + MixFFN(dim, dim * self.mlp_ratios[s],
-                               name=f's{s}_b{b}_ffn')(h, train=train)
+                x = x + _FFN(dim, dim * self.mlp_ratios[s],
+                             name=f's{s}_b{b}_ffn')(h, train=train)
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:
@@ -124,10 +138,24 @@ class SVT(PCPVT):
         qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7).reshape(
             3, B * nh * nw, heads, ws * ws, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = nn.softmax(
-            jnp.einsum('bhnd,bhmd->bhnm', q, k,
-                       preferred_element_type=jnp.float32) * hd ** -0.5,
-            axis=-1).astype(v.dtype)
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+        if pad_h or pad_w:
+            # LSA pad mask (reference twins.py:204-221): real and padded
+            # tokens must not attend each other (-1000 additive)
+            import numpy as np
+            m = np.zeros((Hp, Wp), np.float32)
+            if pad_h:
+                m[-pad_h:, :] = 1
+            if pad_w:
+                m[:, -pad_w:] = 1
+            m = m.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3).reshape(
+                nh * nw, ws * ws)
+            am = (m[:, None, :] != m[:, :, None]) * -1000.0
+            attn = attn.reshape(B, nh * nw, heads, ws * ws, ws * ws)
+            attn = attn + jnp.asarray(am, attn.dtype)[None, :, None]
+            attn = attn.reshape(B * nh * nw, heads, ws * ws, ws * ws)
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.reshape(B, nh, nw, heads, ws, ws, hd)

@@ -1,13 +1,15 @@
 """Context-aggregation decode heads (the reference's attention-head zoo).
 
 Behavioral specs, one per class, from ``mmseg/models/decode_heads/``:
-``gc_head.py`` (GCNet global-context block), ``dnl_head.py`` (disentangled
+``gc_head.py`` (GCNet context block), ``dnl_head.py`` (disentangled
 non-local), ``ema_head.py`` (expectation-maximization attention),
 ``isa_head.py`` (interlaced sparse self-attention), ``apc_head.py``
 (adaptive context modules), ``dm_head.py`` (dynamic convolutional modules),
 ``ann_head.py`` (asymmetric fusion/pyramid non-local), ``setr_up_head.py``
 (SETR progressive-upsample head), ``enc_head.py`` (context encoding module
-with the SE-loss auxiliary).
+with the SE-loss auxiliary), ``da_head.py`` (dual attention), plus the mmcv
+blocks they wrap (``ContextBlock``, ``NonLocal2d``, ``Encoding``) and the
+shared ``mmseg/models/utils/self_attention_block.py``.
 
 All are single-logit heads sharing the ``_HeadBase`` loss/predict contract;
 attention math runs as batched MXU matmuls (einsum) in f32.
@@ -22,97 +24,261 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.decode_heads.base import ClsSeg, select_inputs
 from lednet_tpu.models.decode_heads.psp_aspp import _HeadBase
-from lednet_tpu.models.layers import ConvModule, Norm2d, kaiming_init
+from lednet_tpu.models.layers import ConvModule, Norm2d
 from lednet_tpu.ops import adaptive_avg_pool2d
 from lednet_tpu.ops.resize import resize_bilinear
 from lednet_tpu.registry import MODELS
 
 
+class SelfAttentionBlock(nn.Module):
+    """General self-attention block mirroring the reference
+    ``mmseg/models/utils/self_attention_block.py:34-160``.
+
+    query/key projections are 1x1 ConvModules (with norm+act) when
+    ``key_query_norm`` else plain convs; value/out are plain convs unless
+    ``value_out_norm``. ``key_pool_scales`` reproduces ANN's ``PPMConcat``
+    key/value downsampling (applied AFTER projection, as the reference does).
+    """
+    key_in_channels: int
+    query_in_channels: int
+    channels: int
+    out_channels: int
+    share_key_query: bool = False
+    key_query_num_convs: int = 1
+    key_query_norm: bool = False
+    value_out_num_convs: int = 1
+    value_out_norm: bool = False
+    matmul_norm: bool = False
+    with_out: bool = False
+    key_pool_scales: Optional[Sequence[int]] = None
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+
+    def _make_project(self, in_ch, out_ch, num_convs, use_conv_module, name):
+        mods = []
+        for i in range(num_convs):
+            ic = in_ch if i == 0 else out_ch
+            if use_conv_module:
+                mods.append(ConvModule(ic, out_ch, 1, norm_cfg=self.norm_cfg,
+                                       act_cfg=self.act_cfg,
+                                       name=f'{name}{i}'))
+            else:
+                mods.append(nn.Conv(out_ch, (1, 1), name=f'{name}{i}'))
+
+        def apply(x, train):
+            for m in mods:
+                x = m(x, train=train) if isinstance(m, ConvModule) else m(x)
+            return x
+        return apply
+
+    def _ppm_concat(self, x):
+        # PPMConcat (ann_head.py:11-30): adaptive pools flattened and
+        # concatenated along the token axis
+        B, _, _, C = x.shape
+        return jnp.concatenate(
+            [adaptive_avg_pool2d(x, s).reshape(B, -1, C)
+             for s in self.key_pool_scales], axis=1)
+
+    @nn.compact
+    def __call__(self, query_feats, key_feats, train: bool = False):
+        B, Hq, Wq, _ = query_feats.shape
+        query_proj = self._make_project(
+            self.query_in_channels, self.channels, self.key_query_num_convs,
+            self.key_query_norm, 'query_project')
+        key_proj = query_proj if self.share_key_query else \
+            self._make_project(self.key_in_channels, self.channels,
+                               self.key_query_num_convs, self.key_query_norm,
+                               'key_project')
+        query = query_proj(query_feats, train)
+        key = key_proj(key_feats, train)
+        value_ch = self.channels if self.with_out else self.out_channels
+        value = self._make_project(
+            self.key_in_channels, value_ch, self.value_out_num_convs,
+            self.value_out_norm, 'value_project')(key_feats, train)
+        if self.key_pool_scales is not None:
+            k = self._ppm_concat(key)
+            v = self._ppm_concat(value)
+        else:
+            k = key.reshape(B, -1, key.shape[-1])
+            v = value.reshape(B, -1, value.shape[-1])
+        q = query.reshape(B, Hq * Wq, self.channels)
+        sim = jnp.einsum('bnc,bmc->bnm', q.astype(jnp.float32),
+                         k.astype(jnp.float32))
+        if self.matmul_norm:
+            sim = sim * self.channels ** -0.5
+        attn = nn.softmax(sim, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum('bnm,bmc->bnc', attn, v)
+        ctx = ctx.reshape(B, Hq, Wq, value_ch)
+        if self.with_out:
+            ctx = self._make_project(
+                value_ch, self.out_channels, self.value_out_num_convs,
+                self.value_out_norm, 'out_project')(ctx, train)
+        return ctx
+
+
+def ema_iterate(flat, bases, num_stages):
+    """The no-grad EM iterations of the reference ``EMAModule.forward``
+    (``ema_head.py:45-66``): softmax responsibilities over bases, L1
+    normalization over pixels, bases update, L2 normalization over
+    channels. Returns the post-loop bases and the LAST iteration's
+    (pre-update) attention, exactly as the reference pairs them."""
+
+    def em_step(carry, _):
+        b, _ = carry
+        attn = nn.softmax(jnp.einsum('bnc,bkc->bnk', flat, b), axis=-1)
+        # torch F.normalize(attention, dim=1, p=1)
+        attn_n = attn / jnp.maximum(
+            jnp.sum(jnp.abs(attn), axis=1, keepdims=True), 1e-12)
+        new = jnp.einsum('bnk,bnc->bkc', attn_n, flat)
+        new = new / jnp.maximum(
+            jnp.linalg.norm(new, axis=-1, keepdims=True), 1e-12)
+        return (new, attn), None
+
+    B, N, _ = flat.shape
+    K = bases.shape[1]
+    (bases, attn), _ = jax.lax.scan(
+        em_step, (bases, jnp.zeros((B, N, K), flat.dtype)),
+        None, length=num_stages)
+    return bases, attn
+
+
+def cam_attention(flat):
+    """DANet channel-attention affinity (``da_head.py:59-73``): channel
+    gram matrix, max-subtracted, row-softmaxed, applied to the values."""
+    aff = jnp.einsum('bnc,bnd->bcd', flat, flat)
+    aff = nn.softmax(jnp.max(aff, -1, keepdims=True) - aff, axis=-1)
+    return jnp.einsum('bcd,bnd->bnc', aff, flat)
+
+
+def _fcn_tail(head, x, block_fn, train):
+    """The FCNHead-derived forward shared by GC/NL/DNL (reference
+    ``fcn_head.py:75-95`` + subclass forwards): convs[0] -> block ->
+    convs[1] -> optional conv_cat on [input, output]."""
+    norm_cfg = head.norm_cfg or dict(type='BN')
+    act_cfg = head.act_cfg or dict(type='ReLU')
+    out = ConvModule(x.shape[-1], head.channels, 3, padding=1,
+                     norm_cfg=norm_cfg, act_cfg=act_cfg,
+                     name='conv0')(x, train=train)
+    out = block_fn(out)
+    out = ConvModule(head.channels, head.channels, 3, padding=1,
+                     norm_cfg=norm_cfg, act_cfg=act_cfg,
+                     name='conv1')(out, train=train)
+    if head.concat_input:
+        out = ConvModule(x.shape[-1] + head.channels, head.channels, 3,
+                         padding=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='conv_cat')(
+            jnp.concatenate([x, out], axis=-1), train=train)
+    return out
+
+
 @MODELS.register_module()
 class GCHead(_HeadBase):
-    """FCN tail + GCNet context: softmax spatial pooling -> channel
-    transform (1x1 -> LN -> ReLU -> 1x1) -> broadcast add."""
+    """FCN tail + mmcv ``ContextBlock`` (reference ``gc_head.py``):
+    softmax ('att') or GAP ('avg') spatial pooling -> channel transform
+    (1x1 -> LN -> ReLU -> 1x1) -> broadcast add and/or sigmoid multiply."""
     ratio: float = 0.25
     pooling_type: str = 'att'
     fusion_types: Sequence[str] = ('channel_add',)
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
-        norm_cfg = self.norm_cfg or dict(type='BN')
-        act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv0')(x, train=train)
-        B, H, W, C = feats.shape
-        attn = nn.Conv(1, (1, 1), name='conv_mask')(feats).reshape(B, H * W)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
-        ctx = jnp.einsum('bn,bnc->bc', attn,
-                         feats.reshape(B, H * W, C).astype(jnp.float32))
-        ctx = ctx.astype(feats.dtype)[:, None, None, :]
-        mid = max(int(C * self.ratio), 1)
-        t = nn.Conv(mid, (1, 1), name='transform1')(ctx)
-        t = nn.LayerNorm(name='transform_ln')(t)
-        t = nn.relu(t)
-        t = nn.Conv(C, (1, 1), name='transform2')(t)
-        feats = feats + t
-        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='conv1')(feats, train=train)
+
+        def gc_block(feats):
+            B, H, W, C = feats.shape
+            if self.pooling_type == 'att':
+                attn = nn.Conv(1, (1, 1), name='conv_mask')(feats)
+                attn = nn.softmax(attn.reshape(B, H * W).astype(jnp.float32),
+                                  axis=-1)
+                ctx = jnp.einsum(
+                    'bn,bnc->bc', attn,
+                    feats.reshape(B, H * W, C).astype(jnp.float32))
+                ctx = ctx.astype(feats.dtype)[:, None, None, :]
+            else:
+                ctx = adaptive_avg_pool2d(feats, 1)
+            mid = max(int(C * self.ratio), 1)
+            out = feats
+            if 'channel_mul' in self.fusion_types:
+                t = nn.Conv(mid, (1, 1), name='mul_transform1')(ctx)
+                t = nn.LayerNorm(name='mul_transform_ln')(t)
+                t = nn.Conv(C, (1, 1), name='mul_transform2')(nn.relu(t))
+                out = out * nn.sigmoid(t)
+            if 'channel_add' in self.fusion_types:
+                t = nn.Conv(mid, (1, 1), name='transform1')(ctx)
+                t = nn.LayerNorm(name='transform_ln')(t)
+                t = nn.Conv(C, (1, 1), name='transform2')(nn.relu(t))
+                out = out + t
+            return out
+
+        feats = _fcn_tail(self, x, gc_block, train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(feats, train=train)
 
 
 @MODELS.register_module()
 class DNLHead(_HeadBase):
-    """Disentangled non-local: whitened pairwise term + unary term."""
+    """FCN tail + mmcv ``DisentangledNonLocal2d`` (reference
+    ``dnl_head.py``): whitened pairwise term + unary term, projected back
+    with a normed 1x1 conv, residual add."""
     reduction: int = 2
     use_scale: bool = True
     temperature: float = 0.05
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
         norm_cfg = self.norm_cfg or dict(type='BN')
-        act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv0')(x, train=train)
-        B, H, W, C = feats.shape
-        inter = max(C // self.reduction, 1)
-        flat = feats.reshape(B, H * W, C)
-        theta = nn.Dense(inter, name='theta')(flat).astype(jnp.float32)
-        phi = nn.Dense(inter, name='phi')(flat).astype(jnp.float32)
-        g = nn.Dense(inter, name='g')(flat)
-        # whiten (disentangle): subtract means
-        theta = theta - theta.mean(axis=1, keepdims=True)
-        phi = phi - phi.mean(axis=1, keepdims=True)
-        attn = jnp.einsum('bnc,bmc->bnm', theta, phi)
-        if self.use_scale:
-            attn = attn / (inter ** 0.5)
-        attn = nn.softmax(attn / self.temperature, axis=-1).astype(g.dtype)
-        pairwise = jnp.einsum('bnm,bmc->bnc', attn, g)
-        unary = nn.Conv(1, (1, 1), name='unary_mask')(feats).reshape(B, H * W)
-        unary = nn.softmax(unary.astype(jnp.float32), axis=-1).astype(g.dtype)
-        unary_ctx = jnp.einsum('bm,bmc->bc', unary, g)[:, None, :]
-        y = pairwise + unary_ctx
-        y = nn.Dense(C, name='out_proj')(y).reshape(B, H, W, C)
-        feats = feats + y
-        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='conv1')(feats, train=train)
+
+        def dnl_block(feats):
+            B, H, W, C = feats.shape
+            inter = max(C // self.reduction, 1)
+            theta = nn.Conv(inter, (1, 1), name='theta')(feats).reshape(
+                B, H * W, inter).astype(jnp.float32)
+            phi = nn.Conv(inter, (1, 1), name='phi')(feats).reshape(
+                B, H * W, inter).astype(jnp.float32)
+            g = nn.Conv(inter, (1, 1), name='g')(feats).reshape(
+                B, H * W, inter)
+            # whiten (disentangle): subtract spatial means
+            theta = theta - theta.mean(axis=1, keepdims=True)
+            phi = phi - phi.mean(axis=1, keepdims=True)
+            attn = jnp.einsum('bnc,bmc->bnm', theta, phi)
+            if self.use_scale:
+                attn = attn / (inter ** 0.5)
+            attn = nn.softmax(attn / self.temperature, axis=-1).astype(g.dtype)
+            pairwise = jnp.einsum('bnm,bmc->bnc', attn, g)
+            unary = nn.Conv(1, (1, 1), name='conv_mask')(feats).reshape(
+                B, H * W)
+            unary = nn.softmax(unary.astype(jnp.float32),
+                               axis=-1).astype(g.dtype)
+            unary_ctx = jnp.einsum('bm,bmc->bc', unary, g)[:, None, :]
+            y = (pairwise + unary_ctx).reshape(B, H, W, inter)
+            # mmcv conv_out: 1x1 ConvModule with norm, no act
+            y = ConvModule(inter, C, 1, norm_cfg=norm_cfg, act_cfg=None,
+                           name='conv_out')(y, train=train)
+            return feats + y
+
+        feats = _fcn_tail(self, x, dnl_block, train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(feats, train=train)
 
 
 @MODELS.register_module()
 class EMAHead(_HeadBase):
-    """Expectation-maximization attention: iteratively refine K bases and
-    reconstruct the feature from them."""
+    """Expectation-maximization attention head, exact reference structure
+    (``ema_head.py:23-170``): frozen 1x1 mid conv, no-grad EM iterations
+    with the LAST iteration's (pre-update) attention used for the
+    reconstruction, a momentum-updated non-trainable bases buffer
+    (batch-mean, cross-replica mean under pjit), relu -> normed 1x1 out
+    conv -> residual relu -> bottleneck -> optional conv_cat."""
     ema_channels: int = 256
     num_bases: int = 64
     num_stages: int = 3
     momentum: float = 0.1
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
@@ -122,50 +288,82 @@ class EMAHead(_HeadBase):
                           self.align_corners)
         feats = ConvModule(x.shape[-1], self.ema_channels, 3, padding=1,
                            norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='ema_in')(x, train=train)
-        B, H, W, C = feats.shape
-        flat = feats.reshape(B, H * W, C).astype(jnp.float32)
-        bases = self.param('bases', nn.initializers.normal(1.0),
-                           (1, self.num_bases, C), jnp.float32)
-        bases = jnp.broadcast_to(bases, (B, self.num_bases, C))
-        bases = bases / (1e-6 + jnp.linalg.norm(bases, axis=-1,
-                                                keepdims=True))
+                           name='ema_in_conv')(x, train=train)
+        identity = feats
+        # ema_mid_conv: plain 1x1, requires_grad=False in the reference; its
+        # only consumer is the no-grad EM module, so gradients never reach
+        # it either way
+        mid = ConvModule(self.ema_channels, self.ema_channels, 1,
+                         norm_cfg=None, act_cfg=None,
+                         name='ema_mid_conv')(feats, train=train)
 
-        def em_step(_, bases):
-            attn = nn.softmax(jnp.einsum('bnc,bkc->bnk', flat, bases),
-                              axis=-1)
-            attn = attn / (1e-6 + attn.sum(axis=1, keepdims=True))
-            new = jnp.einsum('bnk,bnc->bkc', attn, flat)
-            return new / (1e-6 + jnp.linalg.norm(new, axis=-1, keepdims=True))
+        B, H, W, C = mid.shape
+        K = self.num_bases
 
-        bases = jax.lax.fori_loop(0, self.num_stages, em_step, bases)
-        attn = nn.softmax(jnp.einsum('bnc,bkc->bnk', flat, bases), axis=-1)
+        def init_bases(key):
+            b = jax.random.normal(key, (1, K, C)) * (2.0 / K) ** 0.5
+            return b / jnp.maximum(
+                jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+
+        bases_var = self.variable('batch_stats', 'bases', init_bases,
+                                  self.make_rng('params')
+                                  if self.is_initializing() else None)
+        flat = jax.lax.stop_gradient(
+            mid.reshape(B, H * W, C).astype(jnp.float32))
+        bases = jnp.broadcast_to(bases_var.value, (B, K, C))
+        bases, attn = ema_iterate(flat, bases, self.num_stages)
+        # reference quirk: recon pairs the FINAL bases with the attention
+        # computed BEFORE their final update (ema_head.py:55-66)
         recon = jnp.einsum('bnk,bkc->bnc', attn, bases).astype(feats.dtype)
         recon = recon.reshape(B, H, W, C)
+
+        if train and not self.is_initializing() and \
+                self.is_mutable_collection('batch_stats'):
+            upd = jnp.mean(bases, axis=0, keepdims=True)
+            upd = upd / jnp.maximum(
+                jnp.linalg.norm(upd, axis=-1, keepdims=True), 1e-12)
+            bases_var.value = (1 - self.momentum) * bases_var.value + \
+                self.momentum * upd
+
+        recon = nn.relu(recon)
         recon = ConvModule(C, C, 1, norm_cfg=norm_cfg, act_cfg=None,
-                           name='ema_mid')(recon, train=train)
-        feats = nn.relu(feats + recon)
-        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='ema_out')(feats, train=train)
+                           name='ema_out_conv')(recon, train=train)
+        out = nn.relu(identity + recon)
+        out = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='bottleneck')(out, train=train)
+        if self.concat_input:
+            out = ConvModule(x.shape[-1] + self.channels, self.channels, 3,
+                             padding=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                             name='conv_cat')(
+                jnp.concatenate([x, out], axis=-1), train=train)
         return ClsSeg(self.channels, self.num_out_channels,
-                      self.dropout_ratio, name='cls')(feats, train=train)
+                      self.dropout_ratio, name='cls')(out, train=train)
 
 
 @MODELS.register_module()
 class ISAHead(_HeadBase):
-    """Interlaced sparse self-attention: long-range attention over strided
-    groups then short-range attention within local blocks."""
+    """Interlaced sparse self-attention (reference ``isa_head.py``):
+    long-range attention over strided groups then short-range attention
+    within local blocks, centered padding, cat with the residual."""
     isa_channels: int = 256
     down_factor: Sequence[int] = (8, 8)
 
-    def _attend(self, x, name):
-        B, N, C = x.shape
-        q = nn.Dense(C, name=f'{name}_q')(x).astype(jnp.float32)
-        k = nn.Dense(C, name=f'{name}_k')(x).astype(jnp.float32)
-        v = nn.Dense(C, name=f'{name}_v')(x)
-        attn = nn.softmax(jnp.einsum('bnc,bmc->bnm', q, k) * C ** -0.5,
-                          axis=-1).astype(v.dtype)
-        return jnp.einsum('bnm,bmc->bnc', attn, v)
+    def _relation(self, x, name, train):
+        # SelfAttentionBlock(channels, isa_channels): qk 2 normed convs,
+        # plain value conv, matmul_norm, then a normed output projection
+        ctx = SelfAttentionBlock(
+            key_in_channels=self.channels, query_in_channels=self.channels,
+            channels=self.isa_channels, out_channels=self.channels,
+            key_query_num_convs=2, key_query_norm=True,
+            value_out_num_convs=1, value_out_norm=False,
+            matmul_norm=True, with_out=False,
+            norm_cfg=self.norm_cfg or dict(type='BN'),
+            act_cfg=self.act_cfg or dict(type='ReLU'),
+            name=f'{name}_attn')(x, x, train=train)
+        return ConvModule(self.channels, self.channels, 1,
+                          norm_cfg=self.norm_cfg or dict(type='BN'),
+                          act_cfg=self.act_cfg or dict(type='ReLU'),
+                          name=f'{name}_out')(ctx, train=train)
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
@@ -173,37 +371,41 @@ class ISAHead(_HeadBase):
         act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.isa_channels, 3, padding=1,
+        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
                            norm_cfg=norm_cfg, act_cfg=act_cfg,
                            name='in_conv')(x, train=train)
+        residual = feats
         B, H, W, C = feats.shape
-        ph, pw = self.down_factor
-        gh, gw = -(-H // ph), -(-W // pw)
-        pad_h, pad_w = gh * ph - H, gw * pw - W
-        h = jnp.pad(feats, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        # long-range: group pixels with the same intra-block offset
-        h = h.reshape(B, gh, ph, gw, pw, C)
-        long_in = h.transpose(0, 2, 4, 1, 3, 5).reshape(B * ph * pw,
-                                                        gh * gw, C)
-        long_out = self._attend(long_in, 'long').reshape(B, ph, pw, gh, gw, C)
-        # short-range: attention within each block
+        lh, lw = self.down_factor
+        gh, gw = -(-H // lh), -(-W // lw)
+        pad_h, pad_w = gh * lh - H, gw * lw - W
+        # centered padding (isa_head.py:112-115)
+        h0, w0 = pad_h // 2, pad_w // 2
+        h = jnp.pad(feats, ((0, 0), (h0, pad_h - h0), (w0, pad_w - w0),
+                            (0, 0)))
+        h = h.reshape(B, gh, lh, gw, lw, C)
+        long_in = h.transpose(0, 2, 4, 1, 3, 5).reshape(B * lh * lw,
+                                                        gh, gw, C)
+        long_out = self._relation(long_in, 'global_relation', train)
+        long_out = long_out.reshape(B, lh, lw, gh, gw, C)
         short_in = long_out.transpose(0, 3, 4, 1, 2, 5).reshape(
-            B * gh * gw, ph * pw, C)
-        short_out = self._attend(short_in, 'short').reshape(B, gh, gw, ph,
-                                                            pw, C)
+            B * gh * gw, lh, lw, C)
+        short_out = self._relation(short_in, 'local_relation', train)
+        short_out = short_out.reshape(B, gh, gw, lh, lw, C)
         out = short_out.transpose(0, 1, 3, 2, 4, 5).reshape(
-            B, gh * ph, gw * pw, C)[:, :H, :W]
-        feats = jnp.concatenate([feats, out], axis=-1)
-        feats = ConvModule(2 * C, self.channels, 1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='out_conv')(feats, train=train)
+            B, gh * lh, gw * lw, C)[:, h0:h0 + H, w0:w0 + W]
+        out = ConvModule(2 * C, self.channels, 1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='out_conv')(
+            jnp.concatenate([out, residual], axis=-1), train=train)
         return ClsSeg(self.channels, self.num_out_channels,
-                      self.dropout_ratio, name='cls')(feats, train=train)
+                      self.dropout_ratio, name='cls')(out, train=train)
 
 
 @MODELS.register_module()
 class APCHead(_HeadBase):
-    """Adaptive pyramid context: per-scale learned affinity between pixels
-    and pooled region descriptors."""
+    """Adaptive pyramid context (reference ``apc_head.py`` ACM modules):
+    sigmoid affinity (NOT normalized) between pixels (+global info) and
+    pooled region descriptors, residual conv + relu, optional fusion conv."""
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     fusion: bool = True
 
@@ -217,18 +419,35 @@ class APCHead(_HeadBase):
         outs = []
         for s in self.pool_scales:
             pooled = adaptive_avg_pool2d(x, s)
-            region = ConvModule(x.shape[-1], self.channels, 1,
+            pooled = ConvModule(x.shape[-1], self.channels, 1,
                                 norm_cfg=norm_cfg, act_cfg=act_cfg,
-                                name=f'pool_proj{s}')(pooled, train=train)
-            affinity = nn.Conv(s * s, (1, 1),
-                               name=f'affinity{s}')(x).reshape(B, H * W,
-                                                               s * s)
-            affinity = nn.sigmoid(affinity)
-            affinity = affinity / (1e-6 + affinity.sum(-1, keepdims=True))
-            region_flat = region.reshape(B, s * s, self.channels)
-            ctx = jnp.einsum('bnk,bkc->bnc', affinity.astype(jnp.float32),
-                             region_flat.astype(jnp.float32))
-            outs.append(ctx.astype(x.dtype).reshape(B, H, W, self.channels))
+                                name=f'acm{s}_pooled_redu')(pooled,
+                                                            train=train)
+            xr = ConvModule(x.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
+                            act_cfg=act_cfg,
+                            name=f'acm{s}_input_redu')(x, train=train)
+            glob = ConvModule(self.channels, self.channels, 1,
+                              norm_cfg=norm_cfg, act_cfg=act_cfg,
+                              name=f'acm{s}_global_info')(
+                adaptive_avg_pool2d(xr, 1), train=train)
+            gla_in = xr + resize_bilinear(glob, (H, W), self.align_corners)
+            affinity = nn.Conv(s * s, (1, 1), name=f'acm{s}_gla')(
+                gla_in).reshape(B, H * W, s * s)
+            affinity = nn.sigmoid(affinity.astype(jnp.float32))
+            region_flat = pooled.reshape(B, s * s,
+                                         self.channels).astype(jnp.float32)
+            z = jnp.einsum('bnk,bkc->bnc', affinity,
+                           region_flat).astype(x.dtype)
+            z = z.reshape(B, H, W, self.channels)
+            z = ConvModule(self.channels, self.channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg,
+                           name=f'acm{s}_residual')(z, train=train)
+            z = nn.relu(z + xr)
+            if self.fusion:
+                z = ConvModule(self.channels, self.channels, 1,
+                               norm_cfg=norm_cfg, act_cfg=act_cfg,
+                               name=f'acm{s}_fusion')(z, train=train)
+            outs.append(z)
         out = jnp.concatenate([x] + outs, axis=-1)
         out = ConvModule(out.shape[-1], self.channels, 3, padding=1,
                          norm_cfg=norm_cfg, act_cfg=act_cfg,
@@ -239,8 +458,10 @@ class APCHead(_HeadBase):
 
 @MODELS.register_module()
 class DMHead(_HeadBase):
-    """Dynamic multi-scale filters: per-scale pooled dynamic kernels applied
-    depthwise (reference ``dm_head.py`` DCM modules, fusion by concat)."""
+    """Dynamic multi-scale filters (reference ``dm_head.py`` DCM modules):
+    per-image depthwise kernels generated by a 1x1 conv on the pooled RAW
+    input, applied to the reduced input with the reference's asymmetric
+    padding for even filter sizes."""
     filter_sizes: Sequence[int] = (1, 3, 5, 7)
     fusion: bool = False
 
@@ -252,24 +473,35 @@ class DMHead(_HeadBase):
                           self.align_corners)
         outs = []
         for k in self.filter_sizes:
-            proj = ConvModule(x.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
-                              act_cfg=act_cfg, name=f'proj{k}')(x, train=train)
-            # dynamic depthwise kernel from adaptive pooling (per-batch):
-            kernel = adaptive_avg_pool2d(proj, k)           # (B,k,k,C)
-            B, H, W, C = proj.shape
+            kernel = nn.Conv(self.channels, (1, 1),
+                             name=f'dcm{k}_filter_gen')(
+                adaptive_avg_pool2d(x, k))                     # (B,k,k,C)
+            xr = ConvModule(x.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
+                            act_cfg=act_cfg,
+                            name=f'dcm{k}_input_redu')(x, train=train)
             pad = (k - 1) // 2
+            if (k - 1) % 2 == 0:
+                hpad = wpad = (pad, pad)
+            else:
+                hpad = wpad = (pad + 1, pad)  # torch F.pad(pad+1, pad, ...)
+            B, H, W, C = xr.shape
+            padded = jnp.pad(xr, ((0, 0), hpad, wpad, (0, 0)))
 
             def apply_one(img, ker):
-                # depthwise: HWIO with I=1 per group
                 return jax.lax.conv_general_dilated(
                     img[None], ker[:, :, None, :],
-                    window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+                    window_strides=(1, 1), padding='VALID',
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                     feature_group_count=C)[0]
 
-            ctx = jax.vmap(apply_one)(proj, kernel)
-            ctx = Norm2d(norm_cfg, name=f'dyn_norm{k}')(ctx, train=train)
-            outs.append(nn.relu(ctx))
+            ctx = jax.vmap(apply_one)(padded, kernel)
+            ctx = Norm2d(norm_cfg, name=f'dcm{k}_norm')(ctx, train=train)
+            ctx = nn.relu(ctx)
+            if self.fusion:
+                ctx = ConvModule(self.channels, self.channels, 1,
+                                 norm_cfg=norm_cfg, act_cfg=act_cfg,
+                                 name=f'dcm{k}_fusion')(ctx, train=train)
+            outs.append(ctx)
         out = jnp.concatenate([x] + outs, axis=-1)
         out = ConvModule(out.shape[-1], self.channels, 3, padding=1,
                          norm_cfg=norm_cfg, act_cfg=act_cfg,
@@ -280,7 +512,9 @@ class DMHead(_HeadBase):
 
 @MODELS.register_module()
 class ANNHead(_HeadBase):
-    """Asymmetric non-local: key/value sampled at pyramid scales (APNB)."""
+    """Asymmetric non-local (reference ``ann_head.py``): AFNB fusion of the
+    low/high features (query=high, pooled key/value=low), dropout, 3x3
+    bottleneck, then an APNB self-attention block, then cls_seg."""
     project_channels: int = 256
     query_scales: Sequence[int] = (1,)
     key_pool_scales: Sequence[int] = (1, 3, 6, 8)
@@ -294,27 +528,55 @@ class ANNHead(_HeadBase):
         xs = select_inputs(inputs, self.in_index, 'multiple_select',
                            self.align_corners)
         low, high = xs[0], xs[-1]
-        B, H, W, C = high.shape
+        hc = high.shape[-1]
         pc = self.project_channels
-        # pyramid-pooled key/value bank from the high-level feature
-        banks = [adaptive_avg_pool2d(high, s).reshape(B, -1, C)
-                 for s in self.key_pool_scales]
-        bank = jnp.concatenate(banks, axis=1)
-        q = nn.Dense(pc, name='query')(high.reshape(B, H * W, C))
-        k = nn.Dense(pc, name='key')(bank)
-        v = nn.Dense(pc, name='value')(bank)
-        attn = nn.softmax(
-            jnp.einsum('bnc,bmc->bnm', q.astype(jnp.float32),
-                       k.astype(jnp.float32)) * pc ** -0.5,
-            axis=-1).astype(v.dtype)
-        ctx = jnp.einsum('bnm,bmc->bnc', attn, v)
-        ctx = nn.Dense(C, name='out_proj')(ctx).reshape(B, H, W, C)
-        feats = high + ctx
-        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='bottleneck')(feats,
-                                                               train=train)
+        # AFNB: sum of per-query-scale attention outputs, then a 1x1
+        # bottleneck (no act) on [context, high]
+        ctx = 0.
+        for qs in self.query_scales:
+            q_in = high
+            if qs > 1:
+                q_in = nn.max_pool(high, (qs, qs), strides=(qs, qs))
+            ctx = ctx + SelfAttentionBlock(
+                key_in_channels=low.shape[-1], query_in_channels=hc,
+                channels=pc, out_channels=hc, share_key_query=False,
+                key_query_num_convs=1, key_query_norm=True,
+                value_out_num_convs=1, value_out_norm=False,
+                matmul_norm=True, with_out=True,
+                key_pool_scales=self.key_pool_scales,
+                norm_cfg=norm_cfg, act_cfg=act_cfg,
+                name=f'fusion_q{qs}')(q_in, low, train=train)
+        out = ConvModule(2 * hc, hc, 1, norm_cfg=norm_cfg, act_cfg=None,
+                         name='fusion_bottleneck')(
+            jnp.concatenate([ctx, high], axis=-1), train=train)
+        if self.dropout_ratio > 0:
+            out = nn.Dropout(self.dropout_ratio,
+                             deterministic=not train)(out)
+        out = ConvModule(hc, self.channels, 3, padding=1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='bottleneck')(out, train=train)
+        # APNB: shared key/query projection self-attention on the
+        # bottlenecked feature, 1x1 bottleneck (with act) on [context, x]
+        ctx2 = 0.
+        for qs in self.query_scales:
+            q_in = out
+            if qs > 1:
+                q_in = nn.max_pool(out, (qs, qs), strides=(qs, qs))
+            ctx2 = ctx2 + SelfAttentionBlock(
+                key_in_channels=self.channels,
+                query_in_channels=self.channels,
+                channels=pc, out_channels=self.channels, share_key_query=True,
+                key_query_num_convs=1, key_query_norm=True,
+                value_out_num_convs=1, value_out_norm=False,
+                matmul_norm=True, with_out=True,
+                key_pool_scales=self.key_pool_scales,
+                norm_cfg=norm_cfg, act_cfg=act_cfg,
+                name=f'context_q{qs}')(q_in, out, train=train)
+        out = ConvModule(2 * self.channels, self.channels, 1,
+                         norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='context_bottleneck')(
+            jnp.concatenate([ctx2, out], axis=-1), train=train)
         return ClsSeg(self.channels, self.num_out_channels,
-                      self.dropout_ratio, name='cls')(feats, train=train)
+                      self.dropout_ratio, name='cls')(out, train=train)
 
 
 @MODELS.register_module()
@@ -347,8 +609,12 @@ class SETRUPHead(_HeadBase):
 
 @MODELS.register_module()
 class EncHead(_HeadBase):
-    """Context-encoding head: learned codewords -> channel attention gate
-    (+ optional SE auxiliary loss on predicted class presence)."""
+    """Context-encoding head (reference ``enc_head.py`` + mmcv
+    ``Encoding``): soft-assignment residual encoding with learnable
+    codewords and per-codeword smoothing factors (init uniform(-1, 0), so
+    ``softmax(scale * dist)`` decays with distance), BN-over-codes + ReLU,
+    mean over codewords, Linear+sigmoid channel gate, and the SE auxiliary
+    class-presence loss."""
     num_codes: int = 32
     use_se_loss: bool = True
     add_lateral: bool = False
@@ -362,29 +628,52 @@ class EncHead(_HeadBase):
         act_cfg = self.act_cfg or dict(type='ReLU')
         xs = select_inputs(inputs, self.in_index, 'multiple_select',
                            self.align_corners)
-        x = ConvModule(xs[-1].shape[-1], self.channels, 3, padding=1,
-                       norm_cfg=norm_cfg, act_cfg=act_cfg,
-                       name='bottleneck')(xs[-1], train=train)
+        feat = ConvModule(xs[-1].shape[-1], self.channels, 3, padding=1,
+                          norm_cfg=norm_cfg, act_cfg=act_cfg,
+                          name='bottleneck')(xs[-1], train=train)
+        if self.add_lateral:
+            laterals = [
+                resize_bilinear(
+                    ConvModule(xs[i].shape[-1], self.channels, 1,
+                               norm_cfg=norm_cfg, act_cfg=act_cfg,
+                               name=f'lateral{i}')(xs[i], train=train),
+                    feat.shape[1:3], self.align_corners)
+                for i in range(len(xs) - 1)]
+            feat = ConvModule(len(xs) * self.channels, self.channels, 3,
+                              padding=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                              name='fusion')(
+                jnp.concatenate([feat] + laterals, axis=-1), train=train)
+        x = ConvModule(self.channels, self.channels, 1, norm_cfg=norm_cfg,
+                       act_cfg=act_cfg,
+                       name='encoding_project')(feat, train=train)
         B, H, W, C = x.shape
-        codes = self.param('codewords', nn.initializers.uniform(1.0),
-                           (self.num_codes, C), jnp.float32)
-        scale = self.param('scale', nn.initializers.uniform(1.0),
-                           (self.num_codes,), jnp.float32)
+        K = self.num_codes
+        std = 1.0 / (K * C) ** 0.5
+        codes = self.param(
+            'codewords',
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
+                                                  -std, std), (K, C))
+        scale = self.param(
+            'scale',
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
+                                                  -1.0, 0.0), (K,))
         flat = x.reshape(B, H * W, C).astype(jnp.float32)
-        # soft-assignment encoding
-        dist = jnp.sum((flat[:, :, None, :] - codes[None, None]) ** 2, -1)
-        assign = nn.softmax(-scale * dist, axis=-1)
-        enc = jnp.einsum('bnk,bnc->bkc', assign,
-                         flat) - jnp.einsum('bnk,kc->bkc', assign, codes)
-        enc = jnp.mean(enc, axis=1)  # (B, C)
-        enc = nn.relu(nn.Dense(C, name='enc_fc')(enc.astype(x.dtype)))
-        gamma = nn.sigmoid(enc)[:, None, None, :]
-        feats = nn.relu(x * gamma + x)
+        # mmcv Encoding: softmax over codes of scale * ||x - c_k||^2
+        diff = flat[:, :, None, :] - codes[None, None]
+        dist = jnp.sum(diff ** 2, -1)
+        assign = nn.softmax(scale * dist, axis=-1)
+        enc = jnp.einsum('bnk,bnkc->bkc', assign, diff)   # (B,K,C)
+        enc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           axis=1, name='encoding_bn')(enc)
+        enc = nn.relu(enc)
+        encoding_feat = jnp.mean(enc, axis=1).astype(feat.dtype)  # (B,C)
+        gamma = nn.sigmoid(nn.Dense(C, name='fc')(encoding_feat))
+        out = nn.relu(feat + feat * gamma[:, None, None, :])
         logits = ClsSeg(self.channels, self.num_out_channels,
-                        self.dropout_ratio, name='cls')(feats, train=train)
+                        self.dropout_ratio, name='cls')(out, train=train)
         if self.use_se_loss:
-            se_logit = nn.Dense(self.num_classes, name='se_layer')(
-                enc.astype(x.dtype))
+            se_logit = nn.Dense(self.num_classes,
+                                name='se_layer')(encoding_feat)
             return logits, se_logit
         return logits
 
@@ -409,7 +698,8 @@ class EncHead(_HeadBase):
             x = se_logit.astype(jnp.float32)
             bce = jnp.maximum(x, 0) - x * present + \
                 jnp.log1p(jnp.exp(-jnp.abs(x)))
-            out['loss_se'] = 0.2 * jnp.mean(bce)
+            weight = (self.loss_se_decode or {}).get('loss_weight', 0.2)
+            out['loss_se'] = weight * jnp.mean(bce)
         return out
 
     def predict_by_feat(self, seg_logits, size=None):
@@ -422,11 +712,11 @@ class EncHead(_HeadBase):
 
 @MODELS.register_module()
 class DAHead(_HeadBase):
-    """Dual attention (DANet, reference ``da_head.py``): position attention
-    (pixel-pixel affinity) + channel attention (channel-channel affinity)
-    branches, fused by sum; predicts from pam, cam and the fusion (the
-    reference returns a 3-logit tuple — losses on all, prediction on the
-    fused one)."""
+    """Dual attention (DANet, reference ``da_head.py``): SEPARATE 3x3 in
+    convs for the position (PAM) and channel (CAM) branches, plain-conv
+    q/k/v projections without matmul scaling in PAM, the max-subtraction
+    channel affinity in CAM, zero-init gamma residuals, per-branch out
+    convs and classifiers; prediction uses the fused logit."""
     pam_channels: int = 64
 
     @nn.compact
@@ -435,39 +725,44 @@ class DAHead(_HeadBase):
         act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv0')(x, train=train)
-        B, H, W, C = feats.shape
-        flat = feats.reshape(B, H * W, C)
 
-        # position attention
-        q = nn.Dense(self.pam_channels, name='pam_q')(flat)
-        k = nn.Dense(self.pam_channels, name='pam_k')(flat)
-        v = nn.Dense(C, name='pam_v')(flat)
+        # position attention branch
+        pam_feat = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                              norm_cfg=norm_cfg, act_cfg=act_cfg,
+                              name='pam_in_conv')(x, train=train)
+        B, H, W, C = pam_feat.shape
+        flat = pam_feat.reshape(B, H * W, C)
+        q = nn.Conv(self.pam_channels, (1, 1), name='pam_q')(
+            pam_feat).reshape(B, H * W, self.pam_channels)
+        k = nn.Conv(self.pam_channels, (1, 1), name='pam_k')(
+            pam_feat).reshape(B, H * W, self.pam_channels)
+        v = nn.Conv(C, (1, 1), name='pam_v')(pam_feat).reshape(B, H * W, C)
         attn = nn.softmax(jnp.einsum('bnc,bmc->bnm', q.astype(jnp.float32),
                                      k.astype(jnp.float32)),
                           axis=-1).astype(v.dtype)
         pam_gamma = self.param('pam_gamma', nn.initializers.zeros, (),
                                jnp.float32)
-        pam = flat + pam_gamma.astype(v.dtype) * \
-            jnp.einsum('bnm,bmc->bnc', attn, v)
+        pam = pam_gamma.astype(v.dtype) * \
+            jnp.einsum('bnm,bmc->bnc', attn, v) + flat
         pam = pam.reshape(B, H, W, C)
+        pam = ConvModule(C, C, 3, padding=1, norm_cfg=norm_cfg,
+                         act_cfg=act_cfg, name='pam_out_conv')(pam,
+                                                               train=train)
 
-        # channel attention
-        aff = jnp.einsum('bnc,bnd->bcd', flat.astype(jnp.float32),
-                         flat.astype(jnp.float32))
-        aff = nn.softmax(jnp.max(aff, -1, keepdims=True) - aff, axis=-1)
+        # channel attention branch
+        cam_feat = ConvModule(x.shape[-1], self.channels, 3, padding=1,
+                              norm_cfg=norm_cfg, act_cfg=act_cfg,
+                              name='cam_in_conv')(x, train=train)
+        cflat = cam_feat.reshape(B, H * W, C)
         cam_gamma = self.param('cam_gamma', nn.initializers.zeros, (),
                                jnp.float32)
-        cam = flat + cam_gamma.astype(flat.dtype) * \
-            jnp.einsum('bcd,bnd->bnc', aff.astype(flat.dtype), flat)
+        cam = cam_gamma.astype(cflat.dtype) * cam_attention(
+            cflat.astype(jnp.float32)).astype(cflat.dtype) + cflat
         cam = cam.reshape(B, H, W, C)
-
-        pam = ConvModule(C, C, 3, padding=1, norm_cfg=norm_cfg,
-                         act_cfg=act_cfg, name='pam_out')(pam, train=train)
         cam = ConvModule(C, C, 3, padding=1, norm_cfg=norm_cfg,
-                         act_cfg=act_cfg, name='cam_out')(cam, train=train)
+                         act_cfg=act_cfg, name='cam_out_conv')(cam,
+                                                               train=train)
+
         fused = pam + cam
         pam_logit = ClsSeg(C, self.num_out_channels, self.dropout_ratio,
                            name='pam_cls')(pam, train=train)
@@ -505,12 +800,14 @@ class CCHead(_HeadBase):
     ``CrissCrossAttention`` — here it is two einsum attentions over each
     pixel's row and column, applied ``recurrence`` times)."""
     recurrence: int = 2
+    concat_input: bool = True
 
-    def _cca(self, feats, name):
+    @staticmethod
+    def _cca(feats, q_proj, k_proj, v_proj, gamma):
         B, H, W, C = feats.shape
-        q = nn.Dense(C // 8, name=f'{name}_q')(feats).astype(jnp.float32)
-        k = nn.Dense(C // 8, name=f'{name}_k')(feats).astype(jnp.float32)
-        v = nn.Dense(C, name=f'{name}_v')(feats)
+        q = q_proj(feats).astype(jnp.float32)
+        k = k_proj(feats).astype(jnp.float32)
+        v = v_proj(feats)
         # row attention: for each pixel, attend over its row (W) and column
         # (H) jointly (criss-cross footprint)
         row = jnp.einsum('bhwc,bhvc->bhwv', q, k)        # (B,H,W,W)
@@ -524,23 +821,27 @@ class CCHead(_HeadBase):
         a_row, a_col = attn[..., :W], attn[..., W:]
         out = jnp.einsum('bhwv,bhvc->bhwc', a_row, v) + \
             jnp.einsum('bhwu,buwc->bhwc', a_col, v)
-        gamma = self.param(f'{name}_gamma', nn.initializers.zeros, (),
-                           jnp.float32)
         return feats + gamma.astype(v.dtype) * out
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
-        norm_cfg = self.norm_cfg or dict(type='BN')
-        act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv0')(x, train=train)
-        for r in range(self.recurrence):
-            feats = self._cca(feats, f'cca{r}')
-        feats = ConvModule(self.channels, self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv1')(feats, train=train)
+
+        def cc_block(feats):
+            # the reference applies ONE CrissCrossAttention module
+            # ``recurrence`` times (shared weights, cc_head.py forward);
+            # the same flax submodules are reused across iterations
+            C = feats.shape[-1]
+            q_proj = nn.Dense(C // 8, name='cca_q')
+            k_proj = nn.Dense(C // 8, name='cca_k')
+            v_proj = nn.Dense(C, name='cca_v')
+            gamma = self.param('cca_gamma', nn.initializers.zeros, (),
+                               jnp.float32)
+            for _ in range(self.recurrence):
+                feats = self._cca(feats, q_proj, k_proj, v_proj, gamma)
+            return feats
+
+        feats = _fcn_tail(self, x, cc_block, train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(feats, train=train)

@@ -26,14 +26,28 @@ from lednet_tpu.ops.resize import resize_bilinear
 from lednet_tpu.registry import MODELS
 
 
-def _nmf(x, rank: int, steps: int, key=None):
-    """Multiplicative-update NMF: x (B, C, N) >= 0 -> bases (B, C, R)."""
+def _nmf(x, rank: int, steps: int, key=None, inv_t: float = 1.0,
+         bases0=None):
+    """Multiplicative-update NMF: x (B, C, N) >= 0 -> recon (B, C, N).
+
+    Mirrors reference ``ham_head.py`` ``NMF2D``/``Matrix_Decomposition_2D_
+    Base`` (``:62-155``): softmax(inv_t * x^T bases) initial coefficient
+    (NMF2D sets ``inv_t=1``, ``:118`` — NOT the base-class 100), ``steps``
+    MU iterations, a final coefficient-only update, then reconstruction.
+    Bases init is L2-normalized over C (``_build_bases:120-126``); eval
+    uses a deterministic uniform vector instead of ``torch.rand`` so
+    inference is jittable and cacheable (documented divergence; the
+    reference re-randomizes every forward, even in eval)."""
     B, C, N = x.shape
-    if key is None:
-        bases = jnp.ones((B, C, rank), x.dtype) / rank
+    if bases0 is not None:
+        bases = bases0
     else:
-        bases = jax.random.uniform(key, (B, C, rank), x.dtype)
-    bases = bases / (1e-6 + jnp.sum(bases, axis=1, keepdims=True))
+        if key is None:
+            bases = jnp.ones((B, C, rank), x.dtype)
+        else:
+            bases = jax.random.uniform(key, (B, C, rank), x.dtype)
+        bases = bases / jnp.sqrt(
+            jnp.sum(bases ** 2, axis=1, keepdims=True) + 1e-12)
 
     def step(_, carry):
         bases, coef = carry
@@ -47,7 +61,7 @@ def _nmf(x, rank: int, steps: int, key=None):
         return bases, coef
 
     coef = jnp.einsum('bcn,bcr->bnr', x, bases)
-    coef = nn.softmax(100 * coef, axis=-1)
+    coef = nn.softmax(inv_t * coef, axis=-1)
     bases, coef = jax.lax.fori_loop(0, steps, step, (bases, coef))
     # final coefficient solve + reconstruction
     numer = jnp.einsum('bcn,bcr->bnr', x, bases)
@@ -58,25 +72,37 @@ def _nmf(x, rank: int, steps: int, key=None):
 
 class Hamburger(nn.Module):
     ham_channels: int = 512
+    md_s: int = 1
     md_r: int = 64
     train_steps: int = 6
     eval_steps: int = 7
+    rand_init: bool = True
+    norm_cfg: Optional[Dict] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # lower bread: 1x1 conv (no norm/act)
-        h = nn.Conv(self.ham_channels, (1, 1), use_bias=False,
+        # lower bread: 1x1 conv, no norm/act -> conv bias=True (mmcv
+        # ConvModule enables bias exactly when there is no following norm)
+        h = nn.Conv(self.ham_channels, (1, 1), use_bias=True,
                     name='ham_in')(x)
         B, H, W, C = h.shape
         h = nn.relu(h)
+        # (B, H, W, C) -> (B*S, D, N) as in the reference forward (:77-90)
         flat = h.reshape(B, H * W, C).transpose(0, 2, 1)  # (B, C, N)
+        if self.md_s > 1:
+            flat = flat.reshape(B * self.md_s, C // self.md_s, H * W)
         steps = self.train_steps if train else self.eval_steps
-        recon = _nmf(flat, self.md_r, steps)
+        key = self.make_rng('nmf') if (self.rand_init and train and
+                                       self.has_rng('nmf')) else None
+        recon = _nmf(flat, self.md_r, steps, key=key)
+        if self.md_s > 1:
+            recon = recon.reshape(B, C, H * W)
         h = recon.transpose(0, 2, 1).reshape(B, H, W, C)
-        # upper bread with BN-free group norm, residual + relu
+        # upper bread with the head's norm (GN in SegNeXt), residual + relu
         h = ConvModule(self.ham_channels, self.ham_channels, 1,
-                       norm_cfg=dict(type='GN', num_groups=32), act_cfg=None,
-                       name='ham_out')(h, train=train)
+                       norm_cfg=self.norm_cfg or dict(type='GN',
+                                                      num_groups=32),
+                       act_cfg=None, name='ham_out')(h, train=train)
         return nn.relu(x + h)
 
 
@@ -99,7 +125,13 @@ class LightHamHead(_HeadBase):
         x = ConvModule(x.shape[-1], self.ham_channels, 1, norm_cfg=norm_cfg,
                        act_cfg=act_cfg, name='squeeze')(x, train=train)
         kwargs = dict(self.ham_kwargs or {})
-        x = Hamburger(self.ham_channels, md_r=kwargs.get('MD_R', 64),
+        x = Hamburger(self.ham_channels,
+                      md_s=kwargs.get('MD_S', 1),
+                      md_r=kwargs.get('MD_R', 64),
+                      train_steps=kwargs.get('train_steps', 6),
+                      eval_steps=kwargs.get('eval_steps', 7),
+                      rand_init=kwargs.get('rand_init', True),
+                      norm_cfg=norm_cfg,
                       name='hamburger')(x, train=train)
         x = ConvModule(self.ham_channels, self.channels, 1, norm_cfg=norm_cfg,
                        act_cfg=act_cfg, name='align')(x, train=train)

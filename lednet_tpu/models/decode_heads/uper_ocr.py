@@ -81,13 +81,28 @@ class UPerHead(_HeadBase):
 
 @MODELS.register_module()
 class OCRHead(_HeadBase):
-    """Cascade head: __call__(inputs, prev_logits)."""
+    """Cascade head: __call__(inputs, prev_logits).
+
+    Faithful to reference ``ocr_head.py``:
+
+    - ``SpatialGatherModule`` (``:12-37``): per-class softmax of
+      ``scale * logits`` over the SPATIAL axis weights the pixel features
+      into (B, K, C) object-region descriptors;
+    - ``ObjectAttentionBlock`` (``:40-81``): the shared
+      ``SelfAttentionBlock`` with 2-conv NORMED query/key projections,
+      normed value/out projections, and scaled matmul, followed by a 1x1
+      bottleneck over ``cat([context, feats])``. ``scale > 1`` query
+      max-pooling is not supported (the reference's un-pool path at
+      ``:78-80`` is broken anyway).
+    """
     ocr_channels: int = 256
     scale: int = 1
 
     @nn.compact
     def __call__(self, inputs, prev_output=None, train: bool = False,
                  with_aux: bool = True):
+        from lednet_tpu.models.decode_heads.context_heads import \
+            SelfAttentionBlock
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
@@ -99,26 +114,23 @@ class OCRHead(_HeadBase):
             prev_output = jnp.zeros(feats.shape[:-1] + (self.num_classes,),
                                     feats.dtype)
         B, H, W, C = feats.shape
-        probs = nn.softmax(prev_output.astype(jnp.float32), axis=-1)
-        probs = resize_bilinear(probs, (H, W), self.align_corners)
-        # object region descriptors: class-weighted spatial pooling
+        probs = prev_output.astype(jnp.float32)
+        if probs.shape[1:3] != (H, W):
+            probs = resize_bilinear(probs, (H, W), self.align_corners)
+        # SpatialGatherModule: softmax over pixels, per class
         pix = feats.reshape(B, H * W, C)
-        pr = probs.reshape(B, H * W, -1)
-        pr = pr / (jnp.sum(pr, axis=1, keepdims=True) + 1e-6)
+        pr = nn.softmax(self.scale * probs.reshape(B, H * W, -1), axis=1)
         regions = jnp.einsum('bnk,bnc->bkc', pr, pix.astype(jnp.float32))
+        regions = regions.astype(feats.dtype)[:, :, None, :]  # (B,K,1,C)
 
-        # pixel-region attention (ObjectAttentionBlock)
-        key_ch = self.ocr_channels
-        q = nn.Dense(key_ch, name='query')(pix)
-        k = nn.Dense(key_ch, name='key')(regions.astype(feats.dtype))
-        v = nn.Dense(key_ch, name='value')(regions.astype(feats.dtype))
-        attn = jnp.einsum('bnc,bkc->bnk', q, k,
-                          preferred_element_type=jnp.float32) * key_ch ** -0.5
-        attn = nn.softmax(attn, axis=-1).astype(feats.dtype)
-        ctx = jnp.einsum('bnk,bkc->bnc', attn, v,
-                         preferred_element_type=jnp.float32).astype(feats.dtype)
-        ctx = nn.Dense(self.channels, name='up_proj')(ctx)
-        ctx = ctx.reshape(B, H, W, self.channels)
+        ctx = SelfAttentionBlock(
+            key_in_channels=C, query_in_channels=C,
+            channels=self.ocr_channels, out_channels=C,
+            key_query_num_convs=2, key_query_norm=True,
+            value_out_num_convs=1, value_out_norm=True,
+            matmul_norm=True, with_out=True,
+            norm_cfg=norm_cfg, act_cfg=act_cfg,
+            name='object_context')(feats, regions, train=train)
 
         out = ConvModule(2 * self.channels, self.channels, 1,
                          norm_cfg=norm_cfg, act_cfg=act_cfg,
@@ -194,35 +206,42 @@ class LRASPPHead(_HeadBase):
 
 @MODELS.register_module()
 class NLHead(_HeadBase):
-    """FCN tail with a non-local block (reference ``nl_head.py``)."""
+    """FCN tail with a non-local block (reference ``nl_head.py`` wrapping
+    mmcv ``NonLocal2d``): embedded-gaussian attention, a NORMED 1x1
+    conv_out projection, residual add, then the FCNHead ``concat_input``
+    conv_cat (reference default True)."""
     reduction: int = 2
     use_scale: bool = True
+    concat_input: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
         norm_cfg = self.norm_cfg or dict(type='BN')
-        act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='conv0')(x, train=train)
-        B, H, W, C = feats.shape
-        inter = max(C // self.reduction, 1)
-        flat = feats.reshape(B, H * W, C)
-        theta = nn.Dense(inter, name='theta')(flat)
-        phi = nn.Dense(inter, name='phi')(flat)
-        g = nn.Dense(inter, name='g')(flat)
-        attn = jnp.einsum('bnc,bmc->bnm', theta, phi,
-                          preferred_element_type=jnp.float32)
-        if self.use_scale:
-            attn = attn * inter ** -0.5
-        attn = nn.softmax(attn, axis=-1).astype(feats.dtype)
-        y = jnp.einsum('bnm,bmc->bnc', attn, g,
-                       preferred_element_type=jnp.float32).astype(feats.dtype)
-        y = nn.Dense(C, name='out_proj')(y).reshape(B, H, W, C)
-        feats = feats + y
-        feats = ConvModule(C, self.channels, 3, padding=1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='conv1')(feats, train=train)
+
+        def nl_block(feats):
+            B, H, W, C = feats.shape
+            inter = max(C // self.reduction, 1)
+            flat = feats.reshape(B, H * W, C)
+            theta = nn.Dense(inter, name='theta')(flat)
+            phi = nn.Dense(inter, name='phi')(flat)
+            g = nn.Dense(inter, name='g')(flat)
+            attn = jnp.einsum('bnc,bmc->bnm', theta, phi,
+                              preferred_element_type=jnp.float32)
+            if self.use_scale:
+                attn = attn * inter ** -0.5
+            attn = nn.softmax(attn, axis=-1).astype(feats.dtype)
+            y = jnp.einsum(
+                'bnm,bmc->bnc', attn, g,
+                preferred_element_type=jnp.float32).astype(feats.dtype)
+            y = y.reshape(B, H, W, inter)
+            # mmcv conv_out: 1x1 ConvModule with norm, no act
+            y = ConvModule(inter, C, 1, norm_cfg=norm_cfg, act_cfg=None,
+                           name='conv_out')(y, train=train)
+            return feats + y
+
+        from lednet_tpu.models.decode_heads.context_heads import _fcn_tail
+        feats = _fcn_tail(self, x, nl_block, train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(feats, train=train)

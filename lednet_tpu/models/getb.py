@@ -28,6 +28,7 @@ import numpy as np
 
 from lednet_tpu.models.layers import Norm2d, kaiming_init
 from lednet_tpu.ops import avg_pool2d
+from lednet_tpu.ops.resize import resize_bilinear
 
 
 def _relative_position_index(ws: int) -> np.ndarray:
@@ -133,6 +134,103 @@ class ConvMlp(nn.Module):
         if self.drop > 0 and train:
             x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x
+
+
+class WF(nn.Module):
+    """Weighted fusion of a decoder feature with a skip (reference
+    ``UNetFormer_GETB.py:229-244``): ``x`` is 2x bilinear-upsampled
+    (``upsample=False`` gives the ``WF1:246-260`` variant without it),
+    blended with ``pre_conv(res)`` by softly-normalized ReLU weights,
+    then a 3x3 Conv-BN-ReLU6."""
+    in_channels: int = 128
+    decode_channels: int = 128
+    eps: float = 1e-8
+    upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x, res, train: bool = False):
+        if self.upsample:
+            B, H, W, _ = x.shape
+            x = resize_bilinear(x, (2 * H, 2 * W), align_corners=False)
+        w = nn.relu(self.param('weights', nn.initializers.ones, (2,),
+                               jnp.float32))
+        fuse = w / (jnp.sum(w) + self.eps)
+        res = nn.Conv(self.decode_channels, (1, 1), use_bias=False,
+                      kernel_init=kaiming_init, name='pre_conv')(res)
+        x = fuse[0] * res + fuse[1] * x
+        x = nn.Conv(self.decode_channels, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_init, name='post_conv')(x)
+        x = Norm2d(dict(type='BN'), name='post_norm')(x, train=train)
+        return jnp.clip(x, 0, 6)
+
+
+class FeatureRefinementHead(nn.Module):
+    """WF fusion followed by parallel pixel/channel attention and a
+    separable-conv projection (reference ``UNetFormer_GETB.py:263-297``):
+    ``pa`` = sigmoid of a biased depthwise 3x3, ``ca`` = squeeze-excite
+    (C/16 bottleneck, ReLU6, bias-free 1x1s), ``out =
+    relu6(sep_conv_bn(pa*x + ca*x) + conv_bn_1x1(x))``."""
+    in_channels: int = 64
+    decode_channels: int = 64
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x, res, train: bool = False):
+        c = self.decode_channels
+        B, H, W, _ = x.shape
+        x = resize_bilinear(x, (2 * H, 2 * W), align_corners=False)
+        w = nn.relu(self.param('weights', nn.initializers.ones, (2,),
+                               jnp.float32))
+        fuse = w / (jnp.sum(w) + self.eps)
+        res = nn.Conv(c, (1, 1), use_bias=False, kernel_init=kaiming_init,
+                      name='pre_conv')(res)
+        x = fuse[0] * res + fuse[1] * x
+        x = nn.Conv(c, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_init, name='post_conv')(x)
+        x = Norm2d(dict(type='BN'), name='post_norm')(x, train=train)
+        x = jnp.clip(x, 0, 6)
+
+        shortcut = nn.Conv(c, (1, 1), use_bias=False,
+                           kernel_init=kaiming_init, name='shortcut_conv')(x)
+        shortcut = Norm2d(dict(type='BN'),
+                          name='shortcut_norm')(shortcut, train=train)
+        pa = nn.sigmoid(nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
+                                use_bias=True, kernel_init=kaiming_init,
+                                name='pa_conv')(x))
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        ca = nn.Conv(max(c // 16, 1), (1, 1), use_bias=False,
+                     kernel_init=kaiming_init, name='ca_fc1')(gap)
+        ca = jnp.clip(ca, 0, 6)
+        ca = nn.sigmoid(nn.Conv(c, (1, 1), use_bias=False,
+                                kernel_init=kaiming_init, name='ca_fc2')(ca))
+        x = pa * x + ca * x
+        x = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
+                    use_bias=False, kernel_init=kaiming_init,
+                    name='proj_dw')(x)
+        x = Norm2d(dict(type='BN'), name='proj_norm')(x, train=train)
+        x = nn.Conv(c, (1, 1), use_bias=False, kernel_init=kaiming_init,
+                    name='proj_pw')(x)
+        return jnp.clip(x + shortcut, 0, 6)
+
+
+class AuxHead(nn.Module):
+    """Training-time auxiliary classifier (reference
+    ``UNetFormer_GETB.py:300-313``): Conv-BN-ReLU6 -> dropout(0.1) ->
+    bias-free 1x1 classifier -> bilinear resize to ``(h, w)``."""
+    in_channels: int = 64
+    num_classes: int = 8
+    drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int, train: bool = False):
+        x = nn.Conv(self.in_channels, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_init, name='conv')(x)
+        x = Norm2d(dict(type='BN'), name='norm')(x, train=train)
+        x = jnp.clip(x, 0, 6)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                    kernel_init=kaiming_init, name='conv_out')(x)
+        return resize_bilinear(x, (h, w), align_corners=False)
 
 
 class GETBBlock(nn.Module):

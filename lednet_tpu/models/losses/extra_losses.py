@@ -42,11 +42,37 @@ class BoundaryLoss:
         return self.loss_weight * jnp.mean(weight * bce)
 
 
+def _weight_reduce(loss, weight=None, reduction='mean', avg_factor=None):
+    """mmengine ``weight_reduce_loss`` semantics on a per-sample vector."""
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if reduction == 'mean':
+            return jnp.mean(loss)
+        if reduction == 'sum':
+            return jnp.sum(loss)
+        return loss
+    if reduction == 'mean':
+        return jnp.sum(loss) / avg_factor
+    if reduction == 'none':
+        return loss
+    raise ValueError('avg_factor can not be used with reduction="sum"')
+
+
 @MODELS.register_module()
 class DiceLoss:
-    """Dice loss (reference ``dice_loss.py``): softmax/sigmoid probs,
-    per-class dice over the batch, mean over classes; ``naive_dice`` uses
-    linear instead of squared denominators."""
+    """Dice loss, exact reference semantics (``dice_loss.py:32-92,142-188``):
+
+    - label maps are expanded by clamp-to-[0, C] one-hot with the overflow
+      column dropped, so ignore-index pixels get an all-zero target row while
+      their *predictions still count* in the denominators (the reference's
+      ``ignore_index`` removes a class CHANNEL, a no-op for the usual 255);
+    - for single-channel preds this expansion yields the class-0 indicator
+      (i.e. the background map) — reproduced faithfully;
+    - activation: sigmoid if ``use_sigmoid`` else softmax only when C > 1;
+    - dice is computed per SAMPLE over the flattened (C·H·W) vector, giving
+      (N,) losses; eps placement differs between the naive and V-Net forms.
+    """
 
     def __init__(self, use_sigmoid: bool = True, activate: bool = True,
                  reduction: str = 'mean', naive_dice: bool = False,
@@ -54,62 +80,45 @@ class DiceLoss:
                  eps: float = 1e-3, loss_name: str = 'loss_dice'):
         self.use_sigmoid = use_sigmoid
         self.activate = activate
+        self.reduction = reduction
         self.naive_dice = naive_dice
         self.loss_weight = loss_weight
         self.ignore_index = ignore_index
         self.eps = eps
         self.loss_name = loss_name
 
-    def __call__(self, pred, target, weight=None, ignore_index=None, **kw):
-        ignore = self.ignore_index if ignore_index is None else ignore_index
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        reduction = reduction_override or self.reduction
         pred = pred.astype(jnp.float32)
-        if pred.ndim == 4 and pred.shape[-1] > 1 and not self.use_sigmoid:
-            if self.activate:
-                pred = jax.nn.softmax(pred, axis=-1)
+        one_hot = target
+        if pred.shape != target.shape:
             num_classes = pred.shape[-1]
-            valid = (target != ignore)
-            one_hot = jax.nn.one_hot(jnp.where(valid, target, 0), num_classes)
-            one_hot = one_hot * valid[..., None]
-            pred = pred * valid[..., None]
-            dims = tuple(range(1, pred.ndim - 1))  # spatial
-            num = 2 * jnp.sum(pred * one_hot, axis=dims)
-            if self.naive_dice:
-                den = jnp.sum(pred, axis=dims) + jnp.sum(one_hot, axis=dims)
-            else:
-                den = jnp.sum(pred ** 2, axis=dims) + \
-                    jnp.sum(one_hot ** 2, axis=dims)
-            dice = (num + self.eps) / (den + self.eps)
-            return self.loss_weight * jnp.mean(1 - dice)
-        # sigmoid path (1 or C channels: C>1 uses one-hot targets, mmseg-style)
-        valid = (target != ignore)
-        if pred.ndim == 4 and pred.shape[-1] > 1:
-            if self.activate and self.use_sigmoid:
+            clamped = jnp.clip(target, 0, num_classes)
+            one_hot = jax.nn.one_hot(clamped, num_classes + 1)[..., :num_classes]
+        if self.activate:
+            if self.use_sigmoid:
                 pred = jax.nn.sigmoid(pred)
-            t = jax.nn.one_hot(jnp.where(valid, target, 0), pred.shape[-1])
-            t = t * valid[..., None]
-            p = pred * valid[..., None]
-            dims = tuple(range(1, p.ndim - 1))
-            num = 2 * jnp.sum(p * t, axis=dims)
-            if self.naive_dice:
-                den = jnp.sum(p, axis=dims) + jnp.sum(t, axis=dims)
-            else:
-                den = jnp.sum(p ** 2, axis=dims) + jnp.sum(t ** 2, axis=dims)
-            dice = (num + self.eps) / (den + self.eps)
-            return self.loss_weight * jnp.mean(1 - dice)
-        if pred.ndim == 4:
-            pred = pred[..., 0]
-        if self.activate and self.use_sigmoid:
-            pred = jax.nn.sigmoid(pred)
-        t = jnp.where(valid, target, 0).astype(jnp.float32)
-        p = pred * valid
-        dims = tuple(range(1, p.ndim))
-        num = 2 * jnp.sum(p * t, axis=dims)
+            elif pred.shape[-1] != 1:
+                pred = jax.nn.softmax(pred, axis=-1)
+        if self.ignore_index is not None and pred.ndim >= 2 and \
+                self.ignore_index < pred.shape[-1]:
+            keep = [c for c in range(pred.shape[-1]) if c != self.ignore_index]
+            pred = pred[..., keep]
+            one_hot = one_hot[..., keep]
+        p = pred.reshape(pred.shape[0], -1)
+        t = one_hot.reshape(one_hot.shape[0], -1).astype(jnp.float32)
+        a = jnp.sum(p * t, axis=1)
         if self.naive_dice:
-            den = jnp.sum(p, axis=dims) + jnp.sum(t, axis=dims)
+            b = jnp.sum(p, axis=1)
+            c = jnp.sum(t, axis=1)
+            d = (2 * a + self.eps) / (b + c + self.eps)
         else:
-            den = jnp.sum(p ** 2, axis=dims) + jnp.sum(t ** 2, axis=dims)
-        dice = (num + self.eps) / (den + self.eps)
-        return self.loss_weight * jnp.mean(1 - dice)
+            b = jnp.sum(p * p, axis=1) + self.eps
+            c = jnp.sum(t * t, axis=1) + self.eps
+            d = (2 * a) / (b + c)
+        loss = _weight_reduce(1 - d, weight, reduction, avg_factor)
+        return self.loss_weight * loss
 
 
 @MODELS.register_module()
@@ -157,6 +166,7 @@ class TverskyLoss:
                  alpha: float = 0.3, beta: float = 0.7,
                  loss_name: str = 'loss_tversky'):
         self.smooth = smooth
+        self.class_weight = class_weight
         self.loss_weight = loss_weight
         self.ignore_index = ignore_index
         self.alpha = alpha
@@ -167,23 +177,40 @@ class TverskyLoss:
         ignore = self.ignore_index if ignore_index is None else ignore_index
         num_classes = pred.shape[-1]
         probs = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
-        valid = target != ignore
-        one_hot = jax.nn.one_hot(jnp.where(valid, target, 0), num_classes)
-        one_hot = one_hot * valid[..., None]
-        probs = probs * valid[..., None]
-        dims = tuple(range(probs.ndim - 1))
-        tp = jnp.sum(probs * one_hot, axis=dims)
-        fp = jnp.sum(probs * (1 - one_hot), axis=dims)
-        fn = jnp.sum((1 - probs) * one_hot, axis=dims)
+        # reference ``tversky_loss.py:106-112``: clamp-based one-hot (ignore
+        # pixels are masked by valid_mask in every term, so the clamp value
+        # never leaks), per-class per-SAMPLE ratios, mean over samples, sum
+        # over classes / num_classes.
+        one_hot = jax.nn.one_hot(jnp.clip(target, 0, num_classes - 1),
+                                 num_classes)
+        valid = (target != ignore).astype(jnp.float32)
+        B = probs.shape[0]
+        p = probs.reshape(B, -1, num_classes)
+        t = one_hot.reshape(B, -1, num_classes)
+        v = valid.reshape(B, -1, 1)
+        tp = jnp.sum(p * t * v, axis=1)
+        fp = jnp.sum(p * (1 - t) * v, axis=1)
+        fn = jnp.sum((1 - p) * t * v, axis=1)
         tversky = (tp + self.smooth) / (
-            tp + self.alpha * fp + self.beta * fn + self.smooth)
-        return self.loss_weight * jnp.mean(1 - tversky)
+            tp + self.alpha * fp + self.beta * fn + self.smooth)  # (B, C)
+        per_class = jnp.mean(1 - tversky, axis=0)  # mean over samples
+        if self.class_weight is not None:
+            per_class = per_class * jnp.asarray(self.class_weight)
+        if 0 <= ignore < num_classes:
+            per_class = per_class * (jnp.arange(num_classes) != ignore)
+        return self.loss_weight * jnp.sum(per_class) / num_classes
 
 
 @MODELS.register_module()
 class KLDivLoss:
-    """Temperature-scaled KL divergence between logit maps (reference
-    ``kldiv_loss.py``)."""
+    """Temperature-scaled KL divergence between logit maps, exact reference
+    behavior (``kldiv_loss.py:41-86``).
+
+    Note the reference feeds *probabilities* (``F.softmax``) into
+    ``F.kl_div``, whose pointwise form is ``q * (log q - input)`` and expects
+    log-probabilities — so its value is ``q*(log q - p)``, NOT the textbook
+    KL. We reproduce that behavior for parity. Reductions are per-sample:
+    'mean'/'sum' return an (N,) vector (mmengine's parse_losses means it)."""
 
     def __init__(self, temperature: float = 1.0, reduction: str = 'mean',
                  loss_name: str = 'loss_kld', loss_weight: float = 1.0):
@@ -193,17 +220,20 @@ class KLDivLoss:
         self.loss_weight = loss_weight
 
     def __call__(self, pred, target, **kw):
-        logp = jax.nn.log_softmax(pred.astype(jnp.float32) / self.temperature,
-                                  axis=-1)
+        p = jax.nn.softmax(pred.astype(jnp.float32) / self.temperature,
+                           axis=-1)
         q = jax.nn.softmax(target.astype(jnp.float32) / self.temperature,
                            axis=-1)
-        kl = jnp.sum(q * (jnp.log(jnp.clip(q, 1e-10)) - logp), axis=-1)
+        # torch F.kl_div(input=p, target=q): q*log(q) - q*p, with the
+        # q*log(q) term defined as 0 at q == 0 (xlogy semantics)
+        kl = jnp.where(q > 0, q * jnp.log(jnp.clip(q, 1e-38)), 0.0) - q * p
         kl = kl * self.temperature ** 2
-        if self.reduction == 'none':
-            return self.loss_weight * kl
+        B = kl.shape[0]
         if self.reduction == 'sum':
-            return self.loss_weight * jnp.sum(kl)
-        return self.loss_weight * jnp.mean(kl)
+            return self.loss_weight * jnp.sum(kl.reshape(B, -1), axis=1)
+        if self.reduction == 'mean':
+            return self.loss_weight * jnp.mean(kl.reshape(B, -1), axis=1)
+        return self.loss_weight * kl
 
 
 @MODELS.register_module()
@@ -217,18 +247,26 @@ class SiLogLoss:
         self.loss_weight = loss_weight
         self.loss_name = loss_name
 
-    def __call__(self, pred, target, **kw):
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        # reference ``silog_loss.py:12-56``: per-SAMPLE flatten, per-sample
+        # valid-masked means (denominator clamped at eps, not 1), sqrt per
+        # sample, then weight_reduce over the batch.
         if pred.ndim == 4:
             pred = pred[..., 0]
-        valid = target > self.eps
-        p = jnp.clip(pred.astype(jnp.float32), self.eps)
-        t = jnp.clip(target.astype(jnp.float32), self.eps)
-        diff = jnp.where(valid, jnp.log(p) - jnp.log(t), 0.0)
-        n = jnp.maximum(jnp.sum(valid), 1)
-        mse = jnp.sum(diff ** 2) / n
-        bias = (jnp.sum(diff) / n) ** 2
-        return self.loss_weight * jnp.sqrt(
-            jnp.maximum(mse - self.lambd * bias, self.eps))
+        B = pred.shape[0]
+        p = pred.astype(jnp.float32).reshape(B, -1)
+        t = target.astype(jnp.float32).reshape(B, -1)
+        diff = jnp.log(jnp.clip(t, self.eps)) - jnp.log(jnp.clip(p, self.eps))
+        valid = ((t > self.eps) & jnp.isfinite(diff)).astype(jnp.float32)
+        diff = jnp.where(valid > 0, diff, 0.0)
+        n = jnp.clip(jnp.sum(valid, axis=1), self.eps)
+        sq_mean = jnp.sum(diff ** 2 * valid, axis=1) / n
+        mean = jnp.sum(diff * valid, axis=1) / n
+        loss = jnp.sqrt(jnp.maximum(sq_mean - self.lambd * mean ** 2, 0.0))
+        reduction = reduction_override or 'mean'
+        return self.loss_weight * _weight_reduce(loss, weight, reduction,
+                                                 avg_factor)
 
 
 def _lovasz_grad(gt_sorted):
@@ -279,7 +317,10 @@ class LovaszLoss:
         valid = labels != ignore_index
         weight_total = []
         losses = []
-        for c in range(num_classes):
+        class_to_sum = (list(range(num_classes))
+                        if self.classes in ('all', 'present')
+                        else list(self.classes))
+        for c in class_to_sum:
             fg = ((labels == c) & valid).astype(jnp.float32)
             present = jnp.sum(fg) > 0
             errors = jnp.where(valid, jnp.abs(fg - probs[:, c]), -jnp.inf)
@@ -289,6 +330,8 @@ class LovaszLoss:
             gt_sorted = fg[order]
             grad = _lovasz_grad(gt_sorted)
             loss_c = jnp.sum(errors_sorted * grad)
+            if self.class_weight is not None:
+                loss_c = loss_c * self.class_weight[c]
             if self.classes == 'present':
                 losses.append(jnp.where(present, loss_c, 0.0))
                 weight_total.append(present.astype(jnp.float32))

@@ -102,3 +102,152 @@ def test_gla_matches_torch(rng):
     out_ref = out_ref.detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), out_ref, atol=5e-5,
                                rtol=1e-4)
+
+
+class TorchWF(tnn.Module):
+    """Faithful torch WF/WF1 (``UNetFormer_GETB.py:229-260``)."""
+
+    def __init__(self, in_ch, dec_ch, upsample=True):
+        super().__init__()
+        self.upsample = upsample
+        self.pre_conv = tnn.Conv2d(in_ch, dec_ch, 1, bias=False)
+        self.weights = tnn.Parameter(torch.ones(2))
+        self.post_conv = tnn.Conv2d(dec_ch, dec_ch, 3, padding=1, bias=False)
+        self.post_bn = tnn.BatchNorm2d(dec_ch)
+
+    def forward(self, x, res):
+        if self.upsample:
+            x = F.interpolate(x, scale_factor=2, mode='bilinear',
+                              align_corners=False)
+        w = F.relu(self.weights)
+        fuse = w / (w.sum() + 1e-8)
+        x = fuse[0] * self.pre_conv(res) + fuse[1] * x
+        return F.relu6(self.post_bn(self.post_conv(x)))
+
+
+@pytest.mark.parametrize('upsample', [True, False])
+def test_wf_matches_torch(rng, upsample):
+    from lednet_tpu.models.getb import WF
+    in_ch, dec_ch = 12, 8
+    x = rng.standard_normal((2, 5, 7, dec_ch)).astype(np.float32)
+    res_hw = (10, 14) if upsample else (5, 7)
+    res = rng.standard_normal((2, *res_hw, in_ch)).astype(np.float32)
+
+    mod = WF(in_ch, dec_ch, upsample=upsample)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(res), train=False)
+    params = jax.device_get(variables['params'])
+    params['weights'] = np.asarray([0.7, 1.3], np.float32)
+    ours = mod.apply({'params': params,
+                      'batch_stats': variables.get('batch_stats', {})},
+                     jnp.asarray(x), jnp.asarray(res), train=False)
+
+    ref = TorchWF(in_ch, dec_ch, upsample)
+    with torch.no_grad():
+        ref.pre_conv.weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params['pre_conv']['kernel']), (3, 2, 0, 1)).copy()))
+        ref.post_conv.weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params['post_conv']['kernel']), (3, 2, 0, 1)).copy()))
+        bn = params['post_norm']['bn']
+        ref.post_bn.weight.copy_(torch.from_numpy(np.asarray(bn['scale'])))
+        ref.post_bn.bias.copy_(torch.from_numpy(np.asarray(bn['bias'])))
+        ref.weights.copy_(torch.from_numpy(params['weights']))
+    ref.eval()
+    out_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(res.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), out_ref.detach().numpy().transpose(0, 2, 3, 1),
+        atol=5e-5, rtol=1e-4)
+
+
+class TorchFRH(tnn.Module):
+    """Faithful torch FeatureRefinementHead (``UNetFormer_GETB.py:263-297``)."""
+
+    def __init__(self, in_ch, dec_ch):
+        super().__init__()
+        self.pre_conv = tnn.Conv2d(in_ch, dec_ch, 1, bias=False)
+        self.weights = tnn.Parameter(torch.ones(2))
+        self.post_conv = tnn.Conv2d(dec_ch, dec_ch, 3, padding=1, bias=False)
+        self.post_bn = tnn.BatchNorm2d(dec_ch)
+        self.pa_conv = tnn.Conv2d(dec_ch, dec_ch, 3, padding=1,
+                                  groups=dec_ch)  # biased (reference default)
+        self.ca_fc1 = tnn.Conv2d(dec_ch, max(dec_ch // 16, 1), 1, bias=False)
+        self.ca_fc2 = tnn.Conv2d(max(dec_ch // 16, 1), dec_ch, 1, bias=False)
+        self.shortcut_conv = tnn.Conv2d(dec_ch, dec_ch, 1, bias=False)
+        self.shortcut_bn = tnn.BatchNorm2d(dec_ch)
+        self.proj_dw = tnn.Conv2d(dec_ch, dec_ch, 3, padding=1,
+                                  groups=dec_ch, bias=False)
+        self.proj_bn = tnn.BatchNorm2d(dec_ch)
+        self.proj_pw = tnn.Conv2d(dec_ch, dec_ch, 1, bias=False)
+
+    def forward(self, x, res):
+        x = F.interpolate(x, scale_factor=2, mode='bilinear',
+                          align_corners=False)
+        w = F.relu(self.weights)
+        fuse = w / (w.sum() + 1e-8)
+        x = fuse[0] * self.pre_conv(res) + fuse[1] * x
+        x = F.relu6(self.post_bn(self.post_conv(x)))
+        shortcut = self.shortcut_bn(self.shortcut_conv(x))
+        pa = torch.sigmoid(self.pa_conv(x)) * x
+        ca = torch.sigmoid(self.ca_fc2(F.relu6(self.ca_fc1(
+            F.adaptive_avg_pool2d(x, 1))))) * x
+        x = pa + ca
+        x = self.proj_pw(self.proj_bn(self.proj_dw(x))) + shortcut
+        return F.relu6(x)
+
+
+def test_feature_refinement_head_matches_torch(rng):
+    from lednet_tpu.models.getb import FeatureRefinementHead
+    in_ch, dec_ch = 24, 32
+    x = rng.standard_normal((1, 6, 8, dec_ch)).astype(np.float32)
+    res = rng.standard_normal((1, 12, 16, in_ch)).astype(np.float32)
+
+    mod = FeatureRefinementHead(in_ch, dec_ch)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(res), train=False)
+    params = jax.device_get(variables['params'])
+    params['weights'] = np.asarray([1.4, 0.6], np.float32)
+    ours = mod.apply({'params': params,
+                      'batch_stats': variables.get('batch_stats', {})},
+                     jnp.asarray(x), jnp.asarray(res), train=False)
+
+    ref = TorchFRH(in_ch, dec_ch)
+    with torch.no_grad():
+        def _conv(dst, src):
+            dst.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(src['kernel']), (3, 2, 0, 1)).copy()))
+            if 'bias' in src:
+                dst.bias.copy_(torch.from_numpy(np.asarray(src['bias'])))
+
+        def _bn(dst, src):
+            dst.weight.copy_(torch.from_numpy(np.asarray(src['bn']['scale'])))
+            dst.bias.copy_(torch.from_numpy(np.asarray(src['bn']['bias'])))
+
+        _conv(ref.pre_conv, params['pre_conv'])
+        _conv(ref.post_conv, params['post_conv'])
+        _bn(ref.post_bn, params['post_norm'])
+        _conv(ref.pa_conv, params['pa_conv'])
+        _conv(ref.ca_fc1, params['ca_fc1'])
+        _conv(ref.ca_fc2, params['ca_fc2'])
+        _conv(ref.shortcut_conv, params['shortcut_conv'])
+        _bn(ref.shortcut_bn, params['shortcut_norm'])
+        _conv(ref.proj_dw, params['proj_dw'])
+        _bn(ref.proj_bn, params['proj_norm'])
+        _conv(ref.proj_pw, params['proj_pw'])
+        ref.weights.copy_(torch.from_numpy(params['weights']))
+    ref.eval()
+    out_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(res.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), out_ref.detach().numpy().transpose(0, 2, 3, 1),
+        atol=5e-5, rtol=1e-4)
+
+
+def test_aux_head_shapes(rng):
+    from lednet_tpu.models.getb import AuxHead
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    mod = AuxHead(16, num_classes=5)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), 32, 32,
+                         train=False)
+    out = mod.apply(variables, jnp.asarray(x), 32, 32, train=False)
+    assert out.shape == (2, 32, 32, 5)

@@ -171,13 +171,13 @@ def test_criss_cross_attention_matches_ccnet_torch(rng):
     with torch.no_grad():
         t = convbnrelu(p['conv0'], s['conv0'], t)
         f = t.permute(0, 2, 3, 1)                     # NHWC
-        wq = torch.from_numpy(np.asarray(p['cca0_q']['kernel']))
-        bq = torch.from_numpy(np.asarray(p['cca0_q']['bias']))
-        wk = torch.from_numpy(np.asarray(p['cca0_k']['kernel']))
-        bk = torch.from_numpy(np.asarray(p['cca0_k']['bias']))
-        wv = torch.from_numpy(np.asarray(p['cca0_v']['kernel']))
-        bv = torch.from_numpy(np.asarray(p['cca0_v']['bias']))
-        gamma = float(np.asarray(p['cca0_gamma']))
+        wq = torch.from_numpy(np.asarray(p['cca_q']['kernel']))
+        bq = torch.from_numpy(np.asarray(p['cca_q']['bias']))
+        wk = torch.from_numpy(np.asarray(p['cca_k']['kernel']))
+        bk = torch.from_numpy(np.asarray(p['cca_k']['bias']))
+        wv = torch.from_numpy(np.asarray(p['cca_v']['kernel']))
+        bv = torch.from_numpy(np.asarray(p['cca_v']['bias']))
+        gamma = float(np.asarray(p['cca_gamma']))
         q = f @ wq + bq
         k = f @ wk + bk
         v = f @ wv + bv
@@ -191,6 +191,10 @@ def test_criss_cross_attention_matches_ccnet_torch(rng):
             torch.einsum('bhwu,buwc->bhwc', a_col, v)
         f = f + gamma * out
         t = convbnrelu(p['conv1'], s['conv1'], f.permute(0, 3, 1, 2))
+        # FCNHead concat_input tail (reference default): conv_cat([x, out])
+        x_in = torch.from_numpy(feats.transpose(0, 3, 1, 2))
+        t = convbnrelu(p['conv_cat'], s['conv_cat'],
+                       torch.cat([x_in, t], dim=1))
         cls = tnn.Conv2d(C, 2, 1)
         cls.weight.copy_(torch.from_numpy(np.transpose(
             np.asarray(p['cls']['conv_seg']['kernel']), (3, 2, 0, 1)).copy()))
