@@ -1,0 +1,15 @@
+# FCN + HRNetV2-W18 on ade20k (reference configs/hrnet/fcn_hr18_4xb4-160k_ade20k-512x512.py semantics)
+
+_base_ = [
+    '../_base_/models/fcn_hr18.py',
+    '../_base_/datasets/ade20k.py',
+    '../_base_/default_runtime.py',
+    '../_base_/schedules/schedule_160k.py',
+]
+
+crop_size = (512, 512)
+data_preprocessor = dict(size=crop_size)
+
+model = dict(
+    data_preprocessor=data_preprocessor,
+    decode_head=dict(num_classes=150))

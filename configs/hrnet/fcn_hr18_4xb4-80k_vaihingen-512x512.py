@@ -1,0 +1,15 @@
+# FCN + HRNetV2-W18 on vaihingen (reference configs/hrnet/fcn_hr18_4xb4-80k_vaihingen-512x512.py semantics)
+
+_base_ = [
+    '../_base_/models/fcn_hr18.py',
+    '../_base_/datasets/vaihingen.py',
+    '../_base_/default_runtime.py',
+    '../_base_/schedules/schedule_80k.py',
+]
+
+crop_size = (512, 512)
+data_preprocessor = dict(size=crop_size)
+
+model = dict(
+    data_preprocessor=data_preprocessor,
+    decode_head=dict(num_classes=6))
