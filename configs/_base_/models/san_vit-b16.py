@@ -33,6 +33,9 @@ model = dict(
         deep_supervision_idxs=(7,), clip_channels=768, embed_dims=240,
         patch_size=16, num_queries=100, num_encode_layer=8, num_san_heads=6,
         fusion_index=(0, 1, 2, 3), rec_num_layers=3, rec_num_heads=12,
-        out_dims=512, align_corners=False),
+        out_dims=512, align_corners=False,
+        # reference san_vit-b16.py:101-104: point-sampled mask losses
+        train_cfg=dict(num_points=12544, oversample_ratio=3.0,
+                       importance_sample_ratio=0.75)),
     train_cfg=dict(),
     test_cfg=dict(mode='whole'))

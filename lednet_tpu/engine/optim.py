@@ -122,8 +122,9 @@ def build_optimizer(optim_wrapper: Dict, param_scheduler=None):
             'decay_rate' in paramwise_cfg:
         chain.append(layer_decay_scale(paramwise_cfg))
     custom = paramwise_cfg.get('custom_keys') or {}
-    if any('lr_mult' in dict(v) for v in custom.values()):
-        chain.append(custom_lr_scale(custom))
+    if any('lr_mult' in dict(v) for v in custom.values()) or \
+            paramwise_cfg.get('bias_lr_mult') is not None:
+        chain.append(paramwise_lr_scale(paramwise_cfg))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule
 
@@ -182,31 +183,76 @@ def _match_custom_key(path_str: str, custom_order, custom):
     return None
 
 
-def _decay_mult_fn(paramwise_cfg: Dict):
+def _is_norm_path(s: str) -> bool:
+    s = '/' + s  # so a top-level 'bn/...' module matches '/bn/' too
+    return any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
+                                'batchnorm', 'layernorm'))
+
+
+def _is_bias_path(s: str) -> bool:
+    return s.endswith('/bias') or s.endswith('/b')
+
+
+def _dwconv_prefixes(params) -> set:
+    """Module prefixes whose ``kernel`` is a depthwise conv.
+
+    Reference semantics (``force_default_constructor.py:169-171``):
+    ``isinstance(module, Conv2d) and module.in_channels == module.groups``.
+    In a flax pytree that is exactly a 4-D HWIO kernel with ``shape[-2] == 1``
+    (one input channel per group — which, as in torch, also matches a plain
+    conv on a 1-channel input)."""
+    import jax.tree_util as jtu
+    prefixes = set()
+    for path, leaf in jtu.tree_flatten_with_path(params)[0]:
+        s = _path_str(path)
+        if s.endswith('/kernel') and getattr(leaf, 'ndim', 0) == 4 \
+                and leaf.shape[-2] == 1:
+            prefixes.add(s.rsplit('/', 1)[0])
+    return prefixes
+
+
+def _decay_mult_fn(paramwise_cfg: Dict, params=None):
     """Per-leaf weight-decay multiplier (reference
     DefaultOptimWrapperConstructor / ``force_default_constructor.py``):
-    the longest matching ``custom_keys`` entry wins entirely (its
-    ``decay_mult`` defaulting to 1); otherwise norms use
-    ``norm_decay_mult``, biases ``bias_decay_mult``, else 1. Fractional
-    multipliers are honored, not coerced to 0/1."""
-    norm_mult = paramwise_cfg.get('norm_decay_mult', 1.0)
-    bias_mult = paramwise_cfg.get('bias_decay_mult', 1.0)
+    the longest matching ``custom_keys`` entry wins (its ``decay_mult``
+    defaulting to 1) — unless ``force_default_settings`` is set, in which
+    case the default rules override the custom value where they apply
+    (``force_default_constructor.py:202-233``). Default rule order is the
+    reference's elif chain: norm -> bias -> depthwise conv -> flat (1-D).
+    Fractional multipliers are honored, not coerced to 0/1.
+
+    ``dwconv_decay_mult`` and the module-shape-dependent rules need the
+    params tree; callers that have it pass ``params`` (the returned fn then
+    takes ``(path, leaf)``); without it the dwconv/flat rules are skipped
+    for backward compatibility with path-only callers."""
+    norm_mult = paramwise_cfg.get('norm_decay_mult', None)
+    bias_mult = paramwise_cfg.get('bias_decay_mult', None)
+    dw_mult = paramwise_cfg.get('dwconv_decay_mult', None)
+    flat_mult = paramwise_cfg.get('flat_decay_mult', None)
+    force = bool(paramwise_cfg.get('force_default_settings', False))
     custom = {k: dict(v) for k, v in
               (paramwise_cfg.get('custom_keys') or {}).items()}
     custom_order = sorted(custom, key=len, reverse=True)
+    dw_prefixes = _dwconv_prefixes(params) if params is not None else set()
 
-    def mult(path) -> float:
+    def mult(path, leaf=None) -> float:
         s = _path_str(path)
         hit = _match_custom_key(s, custom_order, custom)
-        if hit is not None:
-            return float(hit.get('decay_mult', 1.0))
-        is_norm = any(t in s for t in ('/bn/', '/norm', '/gn/', '/ln/',
-                                       'batchnorm', 'layernorm'))
-        if is_norm:
-            return float(norm_mult)
-        if s.endswith('/bias') or s.endswith('/b'):
-            return float(bias_mult)
-        return 1.0
+        m = float(hit.get('decay_mult', 1.0)) if hit is not None else None
+        if hit is None or force:
+            # the None-ness of each mult is part of its elif condition in
+            # the reference, so e.g. a norm bias falls through to the bias
+            # rule when norm_decay_mult is unset
+            if _is_norm_path(s) and norm_mult is not None:
+                m = float(norm_mult)
+            elif _is_bias_path(s) and bias_mult is not None:
+                m = float(bias_mult)
+            elif s.rsplit('/', 1)[0] in dw_prefixes and dw_mult is not None:
+                m = float(dw_mult)
+            elif leaf is not None and getattr(leaf, 'ndim', None) == 1 \
+                    and flat_mult is not None:
+                m = float(flat_mult)
+        return 1.0 if m is None else m
 
     return mult
 
@@ -215,7 +261,6 @@ def scaled_weight_decay(wd: float, paramwise_cfg: Dict):
     """``add_decayed_weights`` with a per-leaf multiplier instead of a
     binary mask, so fractional ``decay_mult`` values behave as in mmseg."""
     import jax.tree_util as jtu
-    mult = _decay_mult_fn(paramwise_cfg)
 
     def init_fn(params):
         return optax.EmptyState()
@@ -223,8 +268,9 @@ def scaled_weight_decay(wd: float, paramwise_cfg: Dict):
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError('scaled_weight_decay requires params')
+        mult = _decay_mult_fn(paramwise_cfg, params)
         updates = jtu.tree_map_with_path(
-            lambda path, u, p: u + wd * mult(path) * p, updates, params)
+            lambda path, u, p: u + wd * mult(path, p) * p, updates, params)
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -234,17 +280,35 @@ def custom_lr_scale(custom_keys: Dict):
     """Per-key ``lr_mult`` from ``paramwise_cfg.custom_keys`` (reference
     DefaultOptimWrapperConstructor semantics: longest matching substring
     wins; dotted mmseg keys match the '/'-joined jax paths)."""
+    return paramwise_lr_scale(dict(custom_keys=custom_keys))
+
+
+def paramwise_lr_scale(paramwise_cfg: Dict):
+    """Per-leaf LR multiplier: ``custom_keys[...].lr_mult`` (longest
+    matching substring wins) plus ``bias_lr_mult`` for non-norm biases
+    (reference ``force_default_constructor.py:205-209``: applied when no
+    custom key matched, or always under ``force_default_settings``).
+    ``dcn_offset_lr_mult`` is not applicable — this stack has no
+    deformable convs (SURVEY §2.9)."""
     import jax.tree_util as jtu
-    custom = {k: dict(v) for k, v in custom_keys.items()}
+    custom = {k: dict(v) for k, v in
+              (paramwise_cfg.get('custom_keys') or {}).items()}
     custom_order = sorted(custom, key=len, reverse=True)
+    bias_lr_mult = paramwise_cfg.get('bias_lr_mult', None)
+    force = bool(paramwise_cfg.get('force_default_settings', False))
 
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
         def scale(path, u):
-            hit = _match_custom_key(_path_str(path), custom_order, custom)
-            return u * hit.get('lr_mult', 1.0) if hit is not None else u
+            s = _path_str(path)
+            hit = _match_custom_key(s, custom_order, custom)
+            m = float(hit.get('lr_mult', 1.0)) if hit is not None else 1.0
+            if (hit is None or force) and bias_lr_mult is not None \
+                    and _is_bias_path(s) and not _is_norm_path(s):
+                m = float(bias_lr_mult)
+            return u * m
 
         return jtu.tree_map_with_path(scale, updates), state
 
@@ -254,11 +318,11 @@ def custom_lr_scale(custom_keys: Dict):
 def paramwise_decay_mask(paramwise_cfg: Dict):
     """Binary view of :func:`_decay_mult_fn` (kept for callers that need an
     optax-style mask; multiplier 0 -> no decay)."""
-    mult = _decay_mult_fn(paramwise_cfg)
 
     def mask(params):
         import jax.tree_util as jtu
-        return jtu.tree_map_with_path(lambda path, p: mult(path) != 0,
+        mult = _decay_mult_fn(paramwise_cfg, params)
+        return jtu.tree_map_with_path(lambda path, p: mult(path, p) != 0,
                                       params)
 
     return mask

@@ -162,6 +162,11 @@ class MaskFormerHead(_HeadBase):
     # 'fpn' (TPU-first default) or 'msdeform' (mmdet's deformable-attention
     # pixel decoder — architectural parity, gather-bound on TPU)
     pixel_decoder: str = 'fpn'
+    # point-sampled mask losses (mmdet convention: MaskFormer trains dense,
+    # Mask2Former on 12544 uncertainty-sampled points)
+    num_points: int = 0
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
@@ -287,17 +292,37 @@ class MaskFormerHead(_HeadBase):
         loss_cls = jnp.sum(nll * wts) / jnp.maximum(jnp.sum(wts), 1)
 
         # mask losses over matched (present) pairs
-        matched_masks = jnp.take_along_axis(
-            sig_flat, assign[:, :, None], axis=1)                    # (B,C,hw)
-        gt_cm = gt_flat.transpose(0, 2, 1)                           # (B,C,hw)
         pm = present.astype(jnp.float32)
-        inter = jnp.sum(matched_masks * gt_cm, -1)
-        dice = 1 - (2 * inter + 1) / (matched_masks.sum(-1) +
-                                      gt_cm.sum(-1) + 1)
-        loss_dice = jnp.sum(dice * pm) / jnp.maximum(pm.sum(), 1)
-        bce = -(gt_cm * jnp.log(jnp.clip(matched_masks, 1e-6)) +
-                (1 - gt_cm) * jnp.log(jnp.clip(1 - matched_masks, 1e-6)))
-        loss_mask = jnp.sum(bce.mean(-1) * pm) / jnp.maximum(pm.sum(), 1)
+        if self.num_points > 0:
+            # Mask2Former (via mmdet): BCE/Dice on uncertainty-sampled
+            # points (num_points=12544, oversample 3.0, importance 0.75)
+            from lednet_tpu.ops.point_loss import sampled_mask_bce_dice
+            rng = (self.make_rng('dropout')
+                   if self.scope is not None and self.has_rng('dropout')
+                   else jax.random.PRNGKey(0))
+            m_logit = jnp.take_along_axis(
+                masks, assign[:, :, None, None], axis=1)             # (B,C,h,w)
+            gt_chw = gt.transpose(0, 3, 1, 2)                        # (B,C,h,w)
+            bce, dice = sampled_mask_bce_dice(
+                rng, m_logit.reshape(B * C, h, w),
+                gt_chw.reshape(B * C, h, w), self.num_points,
+                self.oversample_ratio, self.importance_sample_ratio)
+            bce = bce.reshape(B, C)
+            dice = dice.reshape(B, C)
+            loss_dice = jnp.sum(dice * pm) / jnp.maximum(pm.sum(), 1)
+            loss_mask = jnp.sum(bce * pm) / jnp.maximum(pm.sum(), 1)
+        else:
+            matched_masks = jnp.take_along_axis(
+                sig_flat, assign[:, :, None], axis=1)                # (B,C,hw)
+            gt_cm = gt_flat.transpose(0, 2, 1)                       # (B,C,hw)
+            inter = jnp.sum(matched_masks * gt_cm, -1)
+            dice = 1 - (2 * inter + 1) / (matched_masks.sum(-1) +
+                                          gt_cm.sum(-1) + 1)
+            loss_dice = jnp.sum(dice * pm) / jnp.maximum(pm.sum(), 1)
+            bce = -(gt_cm * jnp.log(jnp.clip(matched_masks, 1e-6)) +
+                    (1 - gt_cm) * jnp.log(jnp.clip(1 - matched_masks, 1e-6)))
+            loss_mask = jnp.sum(bce.mean(-1) * pm) / \
+                jnp.maximum(pm.sum(), 1)
 
         return {
             'loss_cls': self.loss_cls_weight * loss_cls,
@@ -317,8 +342,10 @@ class MaskFormerHead(_HeadBase):
 
 @MODELS.register_module()
 class Mask2FormerHead(MaskFormerHead):
-    """Masked-attention variant (no deformable pixel decoder — divergence
-    from the reference's mmdet Mask2Former, documented)."""
+    """Masked-attention variant with point-sampled mask losses (mmdet
+    Mask2Former defaults); ``pixel_decoder='msdeform'`` opts into the
+    deformable-attention pixel decoder, FPN is the TPU-first default."""
     masked_attn: bool = True
+    num_points: int = 12544
 
 

@@ -17,9 +17,13 @@ Behavioral spec: reference ``mmseg/models/decode_heads/san_head.py``:
 - ``SideAdapterCLIPHead`` (:470-): class logits = einsum(sos embeddings,
   text embeddings); semantic map = softmax(cls)[:-1] x sigmoid(masks).
 
-Divergences (documented): the mask loss trains on full masks (static
-shapes; the reference subsamples uncertain points), and Hungarian matching
-reuses this repo's pure_callback matcher from the MaskFormer head.
+The mask BCE/Dice train on uncertainty-sampled points exactly as the
+reference (``train_cfg.num_points=12544``, oversample 3.0, importance 0.75,
+``san_vit-b16.py:102-104`` via mmdet — see ``ops/point_loss.py``);
+``train_cfg=dict(num_points=0)`` falls back to dense full-mask losses.
+Divergence (documented): Hungarian matching reuses this repo's
+pure_callback matcher from the MaskFormer head, with a dense (not
+point-sampled) matching cost.
 """
 from __future__ import annotations
 
@@ -343,13 +347,31 @@ class SideAdapterCLIPHead(nn.Module):
         take = jnp.take_along_axis  # (B, C, ...) gather of matched queries
         m_logit = take(mask_pred.astype(jnp.float32),
                        assign[..., None, None], axis=1)
-        m_prob = jax.nn.sigmoid(m_logit)
-        bce = -(small * jax.nn.log_sigmoid(m_logit) +
-                (1 - small) * jax.nn.log_sigmoid(-m_logit))
-        bce = (bce * valid[:, None]).mean((-2, -1))
-        inter_m = (m_prob * small).sum((-2, -1))
-        dice = 1 - (2 * inter_m + 1) / (m_prob.sum((-2, -1)) +
-                                        small.sum((-2, -1)) + 1)
+        num_points = int((self.train_cfg or {}).get('num_points', 12544))
+        if num_points > 0:
+            # reference path (san_vit-b16.py:102-104 via mmdet): BCE/Dice on
+            # uncertainty-sampled points, not the full mask grid; the dense
+            # Hungarian cost above stays exact (it is no-grad)
+            from lednet_tpu.ops.point_loss import sampled_mask_bce_dice
+            rng = (self.make_rng('dropout')
+                   if self.scope is not None and self.has_rng('dropout')
+                   else jax.random.PRNGKey(0))
+            cfg = self.train_cfg or {}
+            bce, dice = sampled_mask_bce_dice(
+                rng, m_logit.reshape(B * C, h, w),
+                small.reshape(B * C, h, w), num_points,
+                float(cfg.get('oversample_ratio', 3.0)),
+                float(cfg.get('importance_sample_ratio', 0.75)))
+            bce = bce.reshape(B, C)
+            dice = dice.reshape(B, C)
+        else:
+            m_prob = jax.nn.sigmoid(m_logit)
+            bce = -(small * jax.nn.log_sigmoid(m_logit) +
+                    (1 - small) * jax.nn.log_sigmoid(-m_logit))
+            bce = (bce * valid[:, None]).mean((-2, -1))
+            inter_m = (m_prob * small).sum((-2, -1))
+            dice = 1 - (2 * inter_m + 1) / (m_prob.sum((-2, -1)) +
+                                            small.sum((-2, -1)) + 1)
         n_pos = jnp.maximum(present.sum(), 1)
         loss_mask = (bce * present).sum() / n_pos
         loss_dice = (dice * present).sum() / n_pos

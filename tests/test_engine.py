@@ -271,3 +271,93 @@ def test_custom_keys_fractional_decay_and_longest_match():
     assert np.isclose(
         float(updates['decode_head']['conv_seg']['kernel'][0]), 0.0)
     assert np.isclose(float(updates['plain']['kernel'][0]), 0.1)
+
+
+def test_force_default_constructor_decay_rules():
+    """ForceDefaultOptimWrapperConstructor parity (reference
+    mmseg/engine/optimizers/force_default_constructor.py:202-233): the
+    default elif chain is norm -> bias -> dwconv -> flat, each rule active
+    only when its mult is set; a depthwise conv is a 4-D kernel with one
+    input channel per group; force_default_settings makes the defaults
+    override a matching custom key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lednet_tpu.engine.optim import scaled_weight_decay
+
+    params = {
+        'bn': {'scale': jnp.ones(4), 'bias': jnp.ones(4)},
+        'dw_conv': {'kernel': jnp.ones((3, 3, 1, 8)),
+                    'bias': jnp.ones(8)},
+        'conv': {'kernel': jnp.ones((3, 3, 4, 8)), 'bias': jnp.ones(8)},
+        'prelu': {'negative_slope': jnp.ones(8)},
+    }
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    def decays(cfg, wd=1.0):
+        tx = scaled_weight_decay(wd, cfg)
+        updates, _ = tx.update(zeros, tx.init(params), params)
+        return jax.tree.map(lambda u: float(u.reshape(-1)[0]), updates)
+
+    d = decays(dict(norm_decay_mult=0.0, bias_decay_mult=0.5,
+                    dwconv_decay_mult=0.25, flat_decay_mult=0.125))
+    assert d['bn']['scale'] == 0.0 and d['bn']['bias'] == 0.0
+    # dwconv bias: the bias rule fires first (reference elif order)
+    assert d['dw_conv']['bias'] == 0.5
+    assert d['dw_conv']['kernel'] == 0.25
+    assert d['conv']['kernel'] == 1.0 and d['conv']['bias'] == 0.5
+    # flat: 1-D, not a bias, not under a norm scope
+    assert d['prelu']['negative_slope'] == 0.125
+
+    # None-ness is part of each condition: with norm_decay_mult unset, a
+    # norm bias falls through to the bias rule; the dwconv bias falls
+    # through to the dwconv rule when bias_decay_mult is unset
+    d = decays(dict(bias_decay_mult=0.5))
+    assert d['bn']['bias'] == 0.5 and d['bn']['scale'] == 1.0
+    d = decays(dict(dwconv_decay_mult=0.25))
+    assert d['dw_conv']['bias'] == 0.25 and d['dw_conv']['kernel'] == 0.25
+
+    # force_default_settings: the custom key matches but defaults override
+    d = decays(dict(custom_keys={'dw_conv': dict(decay_mult=0.9)},
+                    dwconv_decay_mult=0.25, force_default_settings=True))
+    assert d['dw_conv']['kernel'] == 0.25
+    d = decays(dict(custom_keys={'dw_conv': dict(decay_mult=0.9)},
+                    dwconv_decay_mult=0.25))
+    assert np.isclose(d['dw_conv']['kernel'], 0.9)
+
+
+def test_bias_lr_mult_and_force_default_lr():
+    """bias_lr_mult scales updates for non-norm biases; a matching custom
+    key suppresses it unless force_default_settings is set."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lednet_tpu.engine.optim import build_optimizer
+
+    params = {'conv': {'kernel': jnp.ones((3, 3, 4, 8)),
+                       'bias': jnp.ones(8)},
+              'bn': {'scale': jnp.ones(4), 'bias': jnp.ones(4)},
+              'head': {'conv': {'bias': jnp.ones(8)}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def ups(paramwise_cfg):
+        tx, _ = build_optimizer(
+            dict(optimizer=dict(type='SGD', lr=1.0),
+                 paramwise_cfg=paramwise_cfg),
+            [dict(type='ConstantLR', factor=1.0, begin=0, end=10)])
+        updates, _ = tx.update(grads, tx.init(params), params)
+        return jax.tree.map(lambda u: float(u.reshape(-1)[0]), updates)
+
+    u = ups(dict(bias_lr_mult=2.0))
+    assert np.isclose(u['conv']['bias'], -2.0)
+    assert np.isclose(u['conv']['kernel'], -1.0)
+    assert np.isclose(u['bn']['bias'], -1.0)  # norm bias excluded
+
+    # custom key wins over bias_lr_mult ...
+    u = ups(dict(bias_lr_mult=2.0, custom_keys={'head': dict(lr_mult=10.0)}))
+    assert np.isclose(u['head']['conv']['bias'], -10.0)
+    # ... unless force_default_settings overrides it
+    u = ups(dict(bias_lr_mult=2.0, force_default_settings=True,
+                 custom_keys={'head': dict(lr_mult=10.0)}))
+    assert np.isclose(u['head']['conv']['bias'], -2.0)
+    assert np.isclose(u['conv']['bias'], -2.0)
