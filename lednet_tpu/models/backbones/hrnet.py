@@ -38,11 +38,14 @@ class _Fuse(nn.Module):
                                    name=f'f{i}_{j}')(y, train=train)
                     y = resize_bilinear(y, xs[i].shape[-3:-1], False)
                 elif j < i:    # finer -> coarser: chain of strided 3x3
+                    # reference hrnet.py:157-186: intermediate convs stay at
+                    # channels[j]; only the last maps to channels[i]
                     for k in range(i - j):
                         last = k == i - j - 1
                         y = ConvModule(
-                            self.channels[j] if k == 0 else self.channels[i],
-                            self.channels[i], 3, stride=2, padding=1,
+                            self.channels[j],
+                            self.channels[i] if last else self.channels[j],
+                            3, stride=2, padding=1,
                             norm_cfg=norm_cfg,
                             act_cfg=None if last else dict(type='ReLU'),
                             name=f'f{i}_{j}_{k}')(y, train=train)
@@ -76,17 +79,18 @@ class HRNet(nn.Module):
         x = ConvModule(64, 64, 3, stride=2, padding=1, norm_cfg=norm_cfg,
                        act_cfg=dict(type='ReLU'), name='stem2')(x, train=train)
 
-        # stage 1: Bottleneck layer
+        # stage 1: Bottleneck layer (reference uses the ResNet Bottleneck,
+        # expansion 4 — hrnet.py:297,383: stage1_out = num_channels * 4)
         s1 = dict(extra['stage1'])
         blocks = s1['num_blocks'][0]
         ch = s1['num_channels'][0]
         h = x
         in_ch = 64
         for i in range(blocks):
-            h = Bottleneck(in_ch, ch, downsample=(in_ch != ch * 2),
-                           norm_cfg=norm_cfg, act_out=True,
+            h = Bottleneck(in_ch, ch, downsample=(in_ch != ch * 4),
+                           norm_cfg=norm_cfg, act_out=True, expansion=4,
                            name=f'layer1_{i}')(h, train=train)
-            in_ch = ch * 2
+            in_ch = ch * 4
         xs = [h]
         prev_channels = [in_ch]
 

@@ -75,7 +75,20 @@ class PointHead(_HeadBase):
     @nn.compact
     def __call__(self, inputs, prev_output=None, train: bool = False,
                  with_aux: bool = True):
-        """Returns (refined_logits, point_logits, point_coords)."""
+        """Returns (refined_logits, point_logits, point_coords).
+
+        Training (reference ``point_head.py:274-326`` get_points_train):
+        oversample ``num_points * oversample_ratio`` uniform points, keep the
+        ``importance_sample_ratio`` fraction most uncertain *measured on the
+        sampled logits* (the reference stresses sampling-then-uncertainty),
+        top up with fresh uniform points; the MLP is trained on those points
+        only (the refined map is not formed).
+
+        Inference (reference ``point_head.py:204-249``): iterative
+        subdivision — upsample the running logits by ``scale_factor``, pick
+        the ``subdivision_num_points`` most uncertain grid points, re-predict
+        them from fine+coarse point features, scatter back; repeat
+        ``subdivision_steps`` times."""
         fine = select_inputs(inputs, self.in_index, self.input_transform,
                              self.align_corners)
         if isinstance(fine, (list, tuple)):
@@ -83,34 +96,59 @@ class PointHead(_HeadBase):
         assert prev_output is not None, 'PointHead is a cascade head'
         coarse = prev_output
         B = fine.shape[0]
-        P = self.num_points
+        C = coarse.shape[-1]
 
-        # uncertainty-based point selection on the coarse logits
-        unc = self._uncertainty(coarse)                     # (B, h, w)
-        h, w = unc.shape[1:3]
-        flat = unc.reshape(B, h * w)
-        k = min(P, h * w)
-        _, idx = jax.lax.top_k(flat, k)                     # most uncertain
-        ys = (idx // w).astype(jnp.float32)
-        xs = (idx % w).astype(jnp.float32)
-        coords = jnp.stack([(xs + 0.5) / w, (ys + 0.5) / h], axis=-1)
+        fcs = [nn.Conv(self.channels, (1,), name=f'fc{i}')
+               for i in range(self.num_fcs)]
+        fc_seg = nn.Conv(self.num_out_channels, (1,), name='fc_seg')
 
-        fine_pts = point_sample(fine, coords)
-        coarse_pts = point_sample(coarse, coords)
-        feat = jnp.concatenate([fine_pts, coarse_pts], axis=-1)
-        for i in range(self.num_fcs):
-            feat = nn.Conv(self.channels, (1,), name=f'fc{i}')(feat)
-            feat = nn.relu(feat)
-            if self.coarse_pred_each_layer:
-                feat = jnp.concatenate([feat, coarse_pts], axis=-1)
-        point_logits = nn.Conv(self.num_out_channels, (1,),
-                               name='fc_seg')(feat)
+        def mlp(coords):
+            fine_pts = point_sample(fine, coords)
+            coarse_pts = point_sample(coarse, coords)
+            feat = jnp.concatenate([fine_pts, coarse_pts], axis=-1)
+            for fc in fcs:
+                feat = nn.relu(fc(feat))
+                if self.coarse_pred_each_layer:
+                    feat = jnp.concatenate([feat, coarse_pts], axis=-1)
+            return fc_seg(feat)
 
-        # scatter refined point logits back into the coarse map
-        refined = coarse.reshape(B, h * w, -1)
-        refined = jax.vmap(lambda r, i, v: r.at[i].set(v))(refined, idx,
-                                                           point_logits)
-        refined = refined.reshape(coarse.shape)
+        if train:
+            rng = (self.make_rng('dropout')
+                   if self.scope is not None and self.has_rng('dropout')
+                   else jax.random.PRNGKey(0))
+            n_over = int(self.num_points * self.oversample_ratio)
+            n_imp = int(self.importance_sample_ratio * self.num_points)
+            k1, k2 = jax.random.split(rng)
+            cand = jax.random.uniform(k1, (B, n_over, 2), jnp.float32)
+            unc = self._uncertainty(point_sample(coarse, cand))  # (B, n_over)
+            _, idx = jax.lax.top_k(unc, n_imp)
+            coords = jnp.take_along_axis(cand, idx[..., None], axis=1)
+            n_rand = self.num_points - n_imp
+            if n_rand > 0:
+                coords = jnp.concatenate(
+                    [coords, jax.random.uniform(k2, (B, n_rand, 2),
+                                                jnp.float32)], axis=1)
+            coords = jax.lax.stop_gradient(coords)
+            return coarse, mlp(coords), coords
+
+        # eval: iterative subdivision refinement
+        refined = coarse
+        point_logits, coords = None, None
+        for _ in range(self.subdivision_steps):
+            h, w = refined.shape[1:3]
+            H, W = h * self.scale_factor, w * self.scale_factor
+            refined = resize_bilinear(refined, (H, W), self.align_corners)
+            flat_unc = self._uncertainty(refined).reshape(B, H * W)
+            k = min(self.subdivision_num_points, H * W)
+            _, idx = jax.lax.top_k(flat_unc, k)
+            ys = (idx // W).astype(jnp.float32)
+            xs = (idx % W).astype(jnp.float32)
+            coords = jnp.stack([(xs + 0.5) / W, (ys + 0.5) / H], axis=-1)
+            point_logits = mlp(coords)
+            rf = refined.reshape(B, H * W, C)
+            rf = jax.vmap(lambda r, i, v: r.at[i].set(v))(rf, idx,
+                                                          point_logits)
+            refined = rf.reshape(B, H, W, C)
         return refined, point_logits, coords
 
     def loss_by_feat(self, seg_logits, seg_label) -> Dict:
