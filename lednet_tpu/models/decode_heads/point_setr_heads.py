@@ -6,9 +6,10 @@ Behavioral specs from ``mmseg/models/decode_heads/``:
   coarse point features (``point_sample`` = bilinear gather — the mmcv CUDA
   op re-expressed as jnp gathers), scatter refined logits back. Train-time
   losses follow the same point sampling.
-- ``psa_head.py``: point-wise spatial attention — 'collect' and 'distribute'
-  global attention maps predicted per pixel (the mmcv ``PSAMask`` op becomes
-  a plain H*W x H*W einsum at the head's working resolution).
+- ``psa_head.py``: point-wise spatial attention — per-pixel relative-offset
+  mask logits cropped into 'collect'/'distribute' position-pair attention
+  (the mmcv ``PSAMask`` CUDA op re-expressed as one static gather, see
+  :func:`psa_mask`), then the reference's softmax + bmm + proj/bottleneck.
 - ``setr_mla_head.py``: multi-level feature aggregation - per-level conv +
   4x upsample, concat, cls.
 - ``dpt_head.py``: reassemble ViT tokens at multiple scales + residual conv
@@ -23,6 +24,7 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lednet_tpu.models.decode_heads.base import (ClsSeg, build_losses,
                                                  default_loss_by_feat,
@@ -153,9 +155,14 @@ class PointHead(_HeadBase):
 
     def loss_by_feat(self, seg_logits, seg_label) -> Dict:
         refined, point_logits, coords = seg_logits
-        label = sem_label(seg_label).astype(jnp.float32)[..., None]
-        pts = point_sample(label, coords)[..., 0]
-        pts = jnp.round(pts).astype(jnp.int32)
+        label = sem_label(seg_label)
+        # nearest-mode label sampling (reference point_head.py:254-259 —
+        # bilinear would invent intermediate classes at boundaries)
+        B, H, W = label.shape[:3]
+        ix = jnp.clip((coords[..., 0] * W).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip((coords[..., 1] * H).astype(jnp.int32), 0, H - 1)
+        pts = jnp.take_along_axis(label.reshape(B, H * W), iy * W + ix,
+                                  axis=1)
         pix, valid = pixelwise_cross_entropy(point_logits, pts,
                                              self.ignore_index)
         loss_point = jnp.sum(pix) / jnp.maximum(jnp.sum(valid), 1)
@@ -168,18 +175,45 @@ class PointHead(_HeadBase):
         return resize_bilinear(refined, size, self.align_corners)
 
 
+def psa_mask(y, mask_size):
+    """mmcv ``PSAMask`` re-expressed as one static gather.
+
+    ``y`` (B, h, w, mask_h*mask_w): per-position relative-offset logits.
+    Returns ``A`` (B, h*w, h*w) with ``A[b, p, t] = y[b, p, rel(t - p))``
+    (zero where the offset falls outside the mask window). In the torch
+    channel-first layout this single matrix is both ops: collect =
+    ``A^T``, distribute = ``A`` (the CUDA kernels differ only in whether
+    the output channel indexes the target or the source position)."""
+    B, h, w, M = y.shape
+    mh, mw = mask_size
+    half_h, half_w = (mh - 1) // 2, (mw - 1) // 2
+    p = np.arange(h * w)
+    py, px = (p // w)[:, None], (p % w)[:, None]
+    ty, tx = (p // w)[None, :], (p % w)[None, :]
+    dh, dw = ty - py + half_h, tx - px + half_w
+    valid = (dh >= 0) & (dh < mh) & (dw >= 0) & (dw < mw)
+    idx = np.clip(dh, 0, mh - 1) * mw + np.clip(dw, 0, mw - 1)
+    flat = y.reshape(B, h * w, M)
+    A = jnp.take_along_axis(flat, jnp.asarray(idx, jnp.int32)[None], axis=2)
+    return A * jnp.asarray(valid, flat.dtype)[None]
+
+
 @MODELS.register_module()
 class PSAHead(_HeadBase):
-    """Point-wise spatial attention (PSANet). Documented divergence from the
-    mmcv ``PSAMask`` CUDA op: attention is global over all pixels instead of
-    the (2H-1, 2W-1) relative-position window, and the predicted map is a
-    plain n x n matrix. The collect/distribute duality is preserved:
-    distribute applies the transposed attention (information flows from each
-    pixel outward rather than into it)."""
+    """Point-wise spatial attention (PSANet) — reference structure
+    (``psa_head.py:56-199``): 1x1 reduce -> shrink resize -> attention
+    stack (1x1 ConvModule + bias-free 1x1 conv to mask_h*mask_w channels)
+    -> PSAMask (static gather replacing the mmcv CUDA op) -> softmax over
+    the position axis -> bmm with the reduced features; 'bi-direction'
+    runs collect + distribute branches and concats; 1x1 proj with
+    padding=1 (the reference's quirk — spatial grows by 2 before the
+    upsample), bilinear up to input, 3x3 bottleneck over
+    [identity, psa], cls_seg."""
     mask_size: Sequence[int] = (97, 97)
     psa_type: str = 'bi-direction'
     compact: bool = False
     shrink_factor: int = 2
+    normalization_factor: Optional[float] = 1.0
     psa_softmax: bool = True
 
     @nn.compact
@@ -188,38 +222,87 @@ class PSAHead(_HeadBase):
         act_cfg = self.act_cfg or dict(type='ReLU')
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
-        feats = ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name='reduce')(x, train=train)
-        B, H, W, C = feats.shape
-        n = H * W
+        identity = x
+        in_ch = x.shape[-1]
+        mh, mw = self.mask_size
+        norm = self.normalization_factor
+        if norm is None:
+            norm = float(mh * mw)
+        align_corners = self.align_corners
 
-        def branch(name, transpose=False):
-            a = ConvModule(C, C // 2, 1, norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name=f'{name}_proj')(feats, train=train)
-            attn = nn.Conv(n, (1, 1), name=f'{name}_attn')(a)
-            attn = attn.reshape(B, n, n)
+        h0, w0 = x.shape[1:3]
+        h, w = h0, w0
+        if self.shrink_factor != 1:
+            # reference psa_head.py:122-135: only when BOTH dims have a
+            # remainder does it ceil-divide and flip to align_corners=True
+            if h % self.shrink_factor and w % self.shrink_factor:
+                h = (h - 1) // self.shrink_factor + 1
+                w = (w - 1) // self.shrink_factor + 1
+                align_corners = True
+            else:
+                h = h // self.shrink_factor
+                w = w // self.shrink_factor
+                align_corners = False
+
+        def reduce_shrink(name):
+            r = ConvModule(in_ch, self.channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg, name=name)(x, train=train)
+            if (h, w) != (h0, w0):
+                r = resize_bilinear(r, (h, w), align_corners)
+            return r
+
+        def attention(feat, name):
+            a = ConvModule(self.channels, self.channels, 1, norm_cfg=norm_cfg,
+                           act_cfg=act_cfg, name=f'{name}0')(feat, train=train)
+            return nn.Conv(mh * mw, (1, 1), use_bias=False,
+                           name=f'{name}1')(a)
+
+        def apply_attn(feat, y_mat):
+            """torch-layout bmm: out[b, j, c] = sum_i Y[i, j] feat[i, c]."""
             if self.psa_softmax:
-                attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
-            v = a.reshape(B, n, C // 2).astype(jnp.float32)
-            eq = 'bmn,bmc->bnc' if transpose else 'bnm,bmc->bnc'
-            out = jnp.einsum(eq, attn, v).astype(feats.dtype)
-            return out.reshape(B, H, W, C // 2)
+                y_mat = nn.softmax(y_mat.astype(jnp.float32), axis=1)
+            flat = feat.reshape(feat.shape[0], h * w, self.channels)
+            out = jnp.einsum('bij,bic->bjc', y_mat,
+                             flat.astype(y_mat.dtype)) * (1.0 / norm)
+            return out.reshape(feat.shape[0], h, w,
+                               self.channels).astype(feat.dtype)
 
-        if self.psa_type == 'bi-direction':
-            collect = branch('collect')
-            distribute = branch('distribute', transpose=True)
-            psa = jnp.concatenate([collect, distribute], axis=-1)
-        elif self.psa_type == 'distribute':
-            distribute = branch('distribute', transpose=True)
-            psa = jnp.concatenate([distribute, distribute], axis=-1)
-        else:  # 'collect'
-            collect = branch('collect')
-            psa = jnp.concatenate([collect, collect], axis=-1)
-        out = jnp.concatenate([feats, psa], axis=-1)
-        out = ConvModule(out.shape[-1], self.channels, 3, padding=1,
+        if self.psa_type in ('collect', 'distribute'):
+            out = reduce_shrink('reduce')
+            y = attention(out, 'attention')
+            F = y.reshape(y.shape[0], h * w, mh * mw)  # [p, raw-channel]
+            if self.compact:
+                # compact needs mask_size == feature size; the raw channels
+                # already index target positions (psa_head.py:137-141)
+                y_mat = F if self.psa_type == 'collect' \
+                    else F.transpose(0, 2, 1)
+            else:
+                A = psa_mask(y, (mh, mw))                # A[p, t]
+                y_mat = A.transpose(0, 2, 1) \
+                    if self.psa_type == 'collect' else A
+            out = apply_attn(out, y_mat)
+        else:  # bi-direction
+            x_col = reduce_shrink('reduce')
+            x_dis = reduce_shrink('reduce_p')
+            y_col = attention(x_col, 'attention')
+            y_dis = attention(x_dis, 'attention_p')
+            Acol = psa_mask(y_col, (mh, mw))
+            if self.compact:
+                y_dis_mat = y_dis.reshape(y_dis.shape[0], h * w, mh * mw)
+            else:
+                y_dis_mat = psa_mask(y_dis, (mh, mw))
+            out = jnp.concatenate(
+                [apply_attn(x_col, Acol.transpose(0, 2, 1)),
+                 apply_attn(x_dis, y_dis_mat)], axis=-1)
+
+        out = ConvModule(out.shape[-1], in_ch, 1, padding=1,
                          norm_cfg=norm_cfg, act_cfg=act_cfg,
-                         name='project')(out, train=train)
+                         name='proj')(out, train=train)
+        out = resize_bilinear(out, (h0, w0), align_corners)
+        out = ConvModule(in_ch * 2, self.channels, 3, padding=1,
+                         norm_cfg=norm_cfg, act_cfg=act_cfg,
+                         name='bottleneck')(
+            jnp.concatenate([identity, out], axis=-1), train=train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(out, train=train)
 

@@ -85,3 +85,33 @@ def test_sampled_loss_gradients_flow():
 
     g = jax.grad(f)(jnp.zeros((1, 16, 16)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_psa_mask_matches_cuda_kernel_semantics():
+    """psa_mask (the mmcv PSAMask CUDA op re-expressed as a static gather)
+    vs a literal python transcription of the kernel: for each position p,
+    the mask window centered at p scatters into target-position channels;
+    out-of-image offsets are zero. Collect = A^T / distribute = A in the
+    torch (channel, spatial) layout."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lednet_tpu.models.decode_heads.point_setr_heads import psa_mask
+
+    rng = np.random.default_rng(0)
+    h, w, mh, mw = 4, 5, 5, 7
+    half_h, half_w = (mh - 1) // 2, (mw - 1) // 2
+    y = rng.normal(size=(2, h, w, mh * mw)).astype(np.float32)
+
+    # literal kernel: collect[n, t, p] over channel-first torch layout
+    collect = np.zeros((2, h * w, h * w), np.float32)
+    for py in range(h):
+        for px in range(w):
+            for dy in range(mh):
+                for dx in range(mw):
+                    ty, tx = py + dy - half_h, px + dx - half_w
+                    if 0 <= ty < h and 0 <= tx < w:
+                        collect[:, ty * w + tx, py * w + px] = \
+                            y[:, py, px, dy * mw + dx]
+
+    A = np.asarray(psa_mask(jnp.asarray(y), (mh, mw)))   # A[p, t]
+    np.testing.assert_allclose(A.transpose(0, 2, 1), collect, atol=1e-6)
