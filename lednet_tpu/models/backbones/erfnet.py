@@ -71,10 +71,12 @@ class UpsamplerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # torch ConvTranspose2d(3, s=2, p=1, output_padding=1) doubles H/W;
-        # flax 'SAME' padding gives the identical geometry
+        # torch ConvTranspose2d(3, s=2, p=1, output_padding=1): 'SAME' gives
+        # the right shape but is shifted one pixel — ((1,2),(1,2)) is the
+        # exact geometry (torch crops the full deconv at offset 1, flax at
+        # offset 0; verified bit-exact in tests/test_erfnet_cgnet_parity.py)
         x = nn.ConvTranspose(self.out_channels, (3, 3), strides=(2, 2),
-                             padding='SAME',
+                             padding=((1, 2), (1, 2)),
                              kernel_init=kaiming_init, name='deconv')(x)
         x = Norm2d(self.norm_cfg or dict(type='BN'), name='bn')(x, train=train)
         return nn.relu(x)

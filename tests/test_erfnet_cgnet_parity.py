@@ -1,0 +1,200 @@
+"""Block-level torch parity for ERFNet and CGNet building blocks
+(reference ``mmseg/models/backbones/erfnet.py`` / ``cgnet.py``) with
+transplanted weights: ERFNet's DownsamplerBlock (conv || maxpool concat,
+BN after the concat), NonBottleneck1d (factorized 3x1/1x3 pairs, second
+pair dilated), UpsamplerBlock (deconv geometry), and CGNet's
+ContextGuidedBlock (1x1 reduce -> depthwise local + dilated surround ->
+joint BN+PReLU -> squeeze-excite global context, residual)."""
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from lednet_tpu.models.backbones.cgnet import ContextGuidedBlock
+from lednet_tpu.models.backbones.erfnet import (DownsamplerBlock,
+                                                NonBottleneck1d,
+                                                UpsamplerBlock)
+
+
+def _to_torch_conv(conv, p, key='kernel'):
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(p[key]), (3, 2, 0, 1)).copy()))
+        if conv.bias is not None:
+            conv.bias.copy_(torch.from_numpy(np.asarray(p['bias']).copy()))
+
+
+def _to_torch_bn(bn, p, s):
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(np.asarray(p['scale']).copy()))
+        bn.bias.copy_(torch.from_numpy(np.asarray(p['bias']).copy()))
+        bn.running_mean.copy_(torch.from_numpy(np.asarray(s['mean']).copy()))
+        bn.running_var.copy_(torch.from_numpy(np.asarray(s['var']).copy()))
+
+
+def _init(mod, x, rng):
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    def rnd(t):
+        return jnp.asarray(rng.standard_normal(t.shape).astype(np.float32)
+                           * 0.05 + (1.0 if float(t.mean()) > 0.5 else 0.0))
+    stats = jax.tree.map(rnd, variables.get('batch_stats', {}))
+    return {'params': variables['params'], 'batch_stats': stats}
+
+
+def test_erfnet_downsampler_matches_torch(rng):
+    x = rng.standard_normal((2, 16, 20, 8)).astype(np.float32)
+    mod = DownsamplerBlock(8, 24)
+    v = _init(mod, x, rng)
+    out_j = mod.apply(v, jnp.asarray(x), train=False)
+
+    conv = tnn.Conv2d(8, 16, 3, 2, 1)
+    bn = tnn.BatchNorm2d(24)
+    _to_torch_conv(conv, v['params']['conv'])
+    _to_torch_bn(bn, v['params']['bn']['bn'], v['batch_stats']['bn']['bn'])
+    bn.eval()
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out_t = F.relu(bn(torch.cat(
+            [conv(xt), F.max_pool2d(xt, 2, 2)], 1)))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_erfnet_nonbottleneck1d_matches_torch(rng):
+    x = rng.standard_normal((1, 12, 14, 16)).astype(np.float32)
+    mod = NonBottleneck1d(16, dilation=2)
+    v = _init(mod, x, rng)
+    out_j = mod.apply(v, jnp.asarray(x), train=False)
+
+    p, s = v['params'], v['batch_stats']
+    c31a = tnn.Conv2d(16, 16, (3, 1), padding=(1, 0))
+    c13a = tnn.Conv2d(16, 16, (1, 3), padding=(0, 1))
+    bn1 = tnn.BatchNorm2d(16)
+    c31b = tnn.Conv2d(16, 16, (3, 1), padding=(2, 0), dilation=(2, 1))
+    c13b = tnn.Conv2d(16, 16, (1, 3), padding=(0, 2), dilation=(1, 2))
+    bn2 = tnn.BatchNorm2d(16)
+    _to_torch_conv(c31a, p['conv3x1_1'])
+    _to_torch_conv(c13a, p['conv1x3_1'])
+    _to_torch_bn(bn1, p['bn1']['bn'], s['bn1']['bn'])
+    _to_torch_conv(c31b, p['conv3x1_2'])
+    _to_torch_conv(c13b, p['conv1x3_2'])
+    _to_torch_bn(bn2, p['bn2']['bn'], s['bn2']['bn'])
+    bn1.eval(), bn2.eval()
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = F.relu(bn1(c13a(F.relu(c31a(xt)))))
+        h = bn2(c13b(F.relu(c31b(h))))
+        out_t = F.relu(xt + h)
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_erfnet_upsampler_matches_torch(rng):
+    x = rng.standard_normal((1, 6, 7, 12)).astype(np.float32)
+    mod = UpsamplerBlock(12, 8)
+    v = _init(mod, x, rng)
+    out_j = mod.apply(v, jnp.asarray(x), train=False)
+
+    deconv = tnn.ConvTranspose2d(12, 8, 3, stride=2, padding=1,
+                                 output_padding=1)
+    bn = tnn.BatchNorm2d(8)
+    # flax ConvTranspose kernel (kh, kw, in, out) == torch flipped spatially
+    k = np.asarray(v['params']['deconv']['kernel'])
+    with torch.no_grad():
+        deconv.weight.copy_(torch.from_numpy(
+            k[::-1, ::-1].transpose(2, 3, 0, 1).copy()))
+        deconv.bias.copy_(torch.from_numpy(
+            np.asarray(v['params']['deconv']['bias']).copy()))
+    _to_torch_bn(bn, v['params']['bn']['bn'], v['batch_stats']['bn']['bn'])
+    bn.eval()
+    with torch.no_grad():
+        out_t = F.relu(bn(deconv(torch.from_numpy(x.transpose(0, 3, 1, 2)))))
+    assert out_t.shape[2:] == (12, 14)
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-4)
+
+
+class TCGBlock(tnn.Module):
+    """Literal reference ContextGuidedBlock (cgnet.py:55-150)."""
+
+    def __init__(self, cin, cout, dilation=2, reduction=4, downsample=False):
+        super().__init__()
+        self.downsample = downsample
+        ch = cout if downsample else cout // 2
+        k, s2, pad = (3, 2, 1) if downsample else (1, 1, 0)
+        self.conv1x1 = tnn.Sequential(
+            tnn.Conv2d(cin, ch, k, s2, pad, bias=False),
+            tnn.BatchNorm2d(ch), tnn.PReLU(ch))
+        self.f_loc = tnn.Conv2d(ch, ch, 3, padding=1, groups=ch, bias=False)
+        self.f_sur = tnn.Conv2d(ch, ch, 3, padding=dilation,
+                                dilation=dilation, groups=ch, bias=False)
+        self.bn = tnn.BatchNorm2d(2 * ch)
+        self.act = tnn.PReLU(2 * ch)
+        self.reduce = tnn.Conv2d(2 * ch, cout, 1, bias=False) \
+            if downsample else None
+        self.fc = tnn.Sequential(
+            tnn.Linear(cout, cout // reduction), tnn.ReLU(),
+            tnn.Linear(cout // reduction, cout), tnn.Sigmoid())
+
+    def forward(self, x):
+        h = self.conv1x1(x)
+        joi = self.act(self.bn(torch.cat([self.f_loc(h), self.f_sur(h)], 1)))
+        if self.reduce is not None:
+            joi = self.reduce(joi)
+        y = self.fc(joi.mean((2, 3)))[:, :, None, None]
+        out = joi * y
+        if not self.downsample:
+            out = x + out
+        return out
+
+
+def _copy_prelu(dst, p):
+    with torch.no_grad():
+        dst.weight.copy_(torch.from_numpy(np.asarray(p['alpha']).copy()))
+
+
+def _copy_linear(dst, p):
+    with torch.no_grad():
+        dst.weight.copy_(torch.from_numpy(
+            np.asarray(p['kernel']).T.copy()))
+        dst.bias.copy_(torch.from_numpy(np.asarray(p['bias']).copy()))
+
+
+import pytest
+
+
+@pytest.mark.parametrize('downsample', [False, True])
+def test_cgnet_block_matches_torch(rng, downsample):
+    cin, cout = 16, 16 if not downsample else 32
+    x = rng.standard_normal((1, 12, 14, cin)).astype(np.float32)
+    mod = ContextGuidedBlock(cin, cout, dilation=2, reduction=4,
+                             downsample=downsample)
+    v = _init(mod, x, rng)
+    out_j = mod.apply(v, jnp.asarray(x), train=False)
+
+    t = TCGBlock(cin, cout, dilation=2, reduction=4, downsample=downsample)
+    p, s = v['params'], v['batch_stats']
+    _to_torch_conv(t.conv1x1[0], p['conv1x1'])
+    _to_torch_bn(t.conv1x1[1], p['norm1']['bn'], s['norm1']['bn'])
+    _copy_prelu(t.conv1x1[2], p['act1'])
+    _to_torch_conv(t.f_loc, p['f_loc'])
+    _to_torch_conv(t.f_sur, p['f_sur'])
+    _to_torch_bn(t.bn, p['bn']['bn'], s['bn']['bn'])
+    _copy_prelu(t.act, p['act2'])
+    if downsample:
+        _to_torch_conv(t.reduce, p['reduce'])
+    _copy_linear(t.fc[0], p['f_glo']['fc1'])
+    _copy_linear(t.fc[2], p['f_glo']['fc2'])
+    t.eval()
+    with torch.no_grad():
+        out_t = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-4)
