@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.fast_scnn import InvertedResidual
-from lednet_tpu.models.layers import ConvModule
+from lednet_tpu.models.layers import ConvModule, Norm2d
 from lednet_tpu.ops import global_avg_pool
 from lednet_tpu.registry import MODELS
 
@@ -64,12 +64,12 @@ class MobileNetV2(nn.Module):
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         wf = self.widen_factor
-        in_ch = max(int(32 * wf), 8)
+        in_ch = make_divisible(32 * wf, 8)
         x = ConvModule(3, in_ch, 3, stride=2, padding=1, norm_cfg=norm_cfg,
                        act_cfg=dict(type='ReLU6'), name='conv1')(x, train=train)
         outs = []
         for i, (t, c, n) in enumerate(self.arch_settings):
-            out_ch = max(int(c * wf), 8)
+            out_ch = make_divisible(c * wf, 8)
             for j in range(n):
                 stride = self.strides[i] if j == 0 else 1
                 x = _DilatedInvertedResidual(
@@ -80,6 +80,18 @@ class MobileNetV2(nn.Module):
         return tuple(outs[i] for i in self.out_indices)
 
 
+def make_divisible(value, divisor=8, min_value=None, min_ratio=0.9):
+    """Reference ``mmseg/models/utils/make_divisible.py``: round to the
+    nearest multiple of ``divisor``, never dropping below ``min_ratio``
+    of the original value."""
+    if min_value is None:
+        min_value = divisor
+    new_value = max(min_value, int(value + divisor / 2) // divisor * divisor)
+    if new_value < min_ratio * value:
+        new_value += divisor
+    return new_value
+
+
 class _SEBlock(nn.Module):
     channels: int
     ratio: int = 4
@@ -87,10 +99,12 @@ class _SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = global_avg_pool(x)
-        g = nn.Conv(self.channels // self.ratio, (1, 1), name='fc1')(g)
+        # reference se_layer.py:41: squeeze width is make_divisible(c/r, 8)
+        g = nn.Conv(make_divisible(self.channels // self.ratio, 8), (1, 1),
+                    name='fc1')(g)
         g = nn.relu(g)
         g = nn.Conv(self.channels, (1, 1), name='fc2')(g)
-        # hard-sigmoid (torch flavor)
+        # HSigmoid(bias=3, divisor=6): clip((x + 3) / 6, 0, 1)
         g = jnp.clip(g / 6.0 + 0.5, 0, 1)
         return x * g
 
@@ -121,38 +135,74 @@ class MobileNetV3(nn.Module):
                   (5, 960, 160, True, 'HSwish', 1)],
     }
 
+    reduction_factor: int = 1
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """Segmentation variant of MobileNetV3 (reference
+        ``mobilenet_v3.py:129-243``): TF-SAME-padded stem, InvertedResidual
+        blocks, a final 1x1 conv to 576 ('small') / 960 ('large') HSwish
+        channels, and the dense-prediction conversion — the two deep
+        stride-2 depthwise convs are reset to stride 1 (their residual
+        stays OFF, as the reference mutates the conv after construction)
+        and later depthwise convs are dilated 2x then 4x (os=8)."""
         norm_cfg = self.norm_cfg or dict(type='BN')
+        small = self.arch == 'small'
+        settings = self.arch_settings[self.arch]
+        # layer index (stem = layer0) thresholds of the conversion
+        dil2_start = 4 if small else 7          # dilation 2 from this layer
+        dil4_start = 9 if small else 13         # dilation 4 from this layer
+        stride_reset = {3, 8} if small else {6, 12}   # 0-based block idx
+        red_start = 8 if small else 12          # reduction_factor applies
 
         def act_fn(name):
             return nn.hard_swish if name == 'HSwish' else nn.relu
 
         in_ch = 16
-        x = ConvModule(3, in_ch, 3, stride=2, padding=1, norm_cfg=norm_cfg,
-                       act_cfg=dict(type='Hardswish'),
-                       name='stem')(x, train=train)
+        # stem: Conv2dAdaptivePadding == TF 'SAME'
+        h = nn.Conv(in_ch, (3, 3), strides=(2, 2), padding='SAME',
+                    use_bias=False, name='stem_conv')(x)
+        h = Norm2d(norm_cfg, name='stem_norm')(h, train=train)
+        x = nn.hard_swish(h)
         outs = [x]
-        for i, (k, mid, out_ch, se, act, stride) in enumerate(
-                self.arch_settings[self.arch]):
+        for i, (k, mid, out_ch, se, act, stride) in enumerate(settings):
+            layer_idx = i + 1
+            if i >= red_start:
+                mid = mid // self.reduction_factor
+                out_ch = out_ch // self.reduction_factor
+            # residual decided by the ORIGINAL stride (the reference builds
+            # the block with stride 2, then mutates only the conv's stride)
+            residual = stride == 1 and in_ch == out_ch
+            if i in stride_reset:
+                stride = 1
+            if layer_idx >= dil4_start:
+                dil = 4
+            elif layer_idx >= dil2_start:
+                dil = 2
+            else:
+                dil = 1
+            pad = dil * (k - 1) // 2
             identity = x
             h = x
             if mid != in_ch:
                 h = ConvModule(in_ch, mid, 1, norm_cfg=norm_cfg, act_cfg=None,
                                name=f'b{i}_expand')(h, train=train)
                 h = act_fn(act)(h)
-            h = ConvModule(mid, mid, k, stride=stride, padding=k // 2,
-                           groups=mid, norm_cfg=norm_cfg, act_cfg=None,
-                           name=f'b{i}_dw')(h, train=train)
+            h = ConvModule(mid, mid, k, stride=stride, padding=pad,
+                           dilation=dil, groups=mid, norm_cfg=norm_cfg,
+                           act_cfg=None, name=f'b{i}_dw')(h, train=train)
             h = act_fn(act)(h)
             if se:
                 h = _SEBlock(mid, name=f'b{i}_se')(h)
             h = ConvModule(mid, out_ch, 1, norm_cfg=norm_cfg, act_cfg=None,
                            name=f'b{i}_project')(h, train=train)
-            if stride == 1 and in_ch == out_ch:
+            if residual:
                 h = h + identity
             x = h
             in_ch = out_ch
             outs.append(x)
-        return tuple(outs[i] for i in self.out_indices
-                     if i < len(outs))
+        # final layer: 1x1 conv to 576/960 (dilation-4 on a 1x1 is a no-op)
+        h = ConvModule(in_ch, 576 if small else 960, 1, norm_cfg=norm_cfg,
+                       act_cfg=None, name='final_conv')(x, train=train)
+        outs.append(nn.hard_swish(h))
+        return tuple(outs[i] for i in self.out_indices)
