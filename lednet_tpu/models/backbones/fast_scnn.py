@@ -13,7 +13,6 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lednet_tpu.models.decode_heads.psp_aspp import _SepConv
 from lednet_tpu.models.layers import ConvModule
 from lednet_tpu.ops import adaptive_avg_pool2d
 from lednet_tpu.ops.resize import resize_bilinear
@@ -21,16 +20,23 @@ from lednet_tpu.registry import MODELS
 
 
 class InvertedResidual(nn.Module):
+    """MobileNetV2 bottleneck (``mmseg/models/utils/inverted_residual.py``).
+
+    Fast-SCNN passes ``act_cfg=ReLU`` down to these blocks
+    (``fast_scnn.py:165-182``), so the activation is configurable here
+    rather than the MobileNetV2 default ReLU6.
+    """
     in_channels: int
     out_channels: int
     stride: int = 1
     expand_ratio: int = 6
     norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
-        act = dict(type='ReLU6')
+        act = self.act_cfg or dict(type='ReLU6')
         mid = self.in_channels * self.expand_ratio
         h = x
         if self.expand_ratio != 1:
@@ -93,8 +99,10 @@ class FastSCNN(nn.Module):
         # learning to downsample -> 1/8
         h = ConvModule(self.in_channels, d1, 3, stride=2, padding=1,
                        norm_cfg=norm_cfg, act_cfg=act, name='ltd_conv')(x, train=train)
-        h = _StridedSep(d1, d2, norm_cfg, name='ltd_sep1')(h, train=train)
+        h = _StridedSep(d1, d2, norm_cfg, dw_act_cfg=self.dw_act_cfg,
+                        pw_act_cfg=act, name='ltd_sep1')(h, train=train)
         higher = _StridedSep(d2, self.global_in_channels, norm_cfg,
+                             dw_act_cfg=self.dw_act_cfg, pw_act_cfg=act,
                              name='ltd_sep2')(h, train=train)
 
         # global feature extractor
@@ -104,12 +112,12 @@ class FastSCNN(nn.Module):
                                              self.global_block_strides)):
             for j in range(3):
                 g = InvertedResidual(in_ch, ch, stride if j == 0 else 1,
-                                     norm_cfg=norm_cfg,
+                                     norm_cfg=norm_cfg, act_cfg=act,
                                      name=f'gfe{i}_{j}')(g, train=train)
                 in_ch = ch
         g = _PPM(in_ch, in_ch // 4, align_corners=self.align_corners,
                  norm_cfg=norm_cfg, name='ppm')(g, train=train)
-        lower = ConvModule(in_ch * 2, self.global_out_channels, 1,
+        lower = ConvModule(in_ch * 2, self.global_out_channels, 3, padding=1,
                            norm_cfg=norm_cfg, act_cfg=act,
                            name='gfe_out')(g, train=train)
 
@@ -133,17 +141,25 @@ class FastSCNN(nn.Module):
 
 
 class _StridedSep(nn.Module):
-    """stride-2 depthwise-separable conv used by the LTD module."""
+    """stride-2 depthwise-separable conv used by the LTD module.
+
+    The reference builds these with ``dw_act_cfg=None`` by default
+    (``fast_scnn.py:38,57-73``): BN but NO activation after the depthwise
+    conv, ReLU (``act_cfg``) after the pointwise conv.
+    """
     in_channels: int
     out_channels: int
     norm_cfg: Optional[Dict] = None
+    dw_act_cfg: Optional[Dict] = None
+    pw_act_cfg: Optional[Dict] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         x = ConvModule(self.in_channels, self.in_channels, 3, stride=2,
                        padding=1, groups=self.in_channels, norm_cfg=norm_cfg,
-                       act_cfg=dict(type='ReLU'), name='dw')(x, train=train)
+                       act_cfg=self.dw_act_cfg, name='dw')(x, train=train)
         return ConvModule(self.in_channels, self.out_channels, 1,
-                          norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+                          norm_cfg=norm_cfg,
+                          act_cfg=self.pw_act_cfg or dict(type='ReLU'),
                           name='pw')(x, train=train)

@@ -42,8 +42,10 @@ class STDCModule(nn.Module):
         down = self.stride == 2
         oc = self.out_channels
 
+        # conv_0 does not forward act_cfg upstream (``stdc.py:48-49``) —
+        # it keeps mmcv ConvModule's default ReLU whatever act_cfg says.
         conv0 = ConvModule(self.in_channels, oc // 2, 1, norm_cfg=norm_cfg,
-                           act_cfg=act_cfg, name='conv0')
+                           act_cfg=dict(type='ReLU'), name='conv0')
         mid_convs = []
         for i in range(1, self.num_convs):
             out_factor = 2 ** (i + 1) if i != self.num_convs - 1 else 2 ** i
@@ -174,8 +176,10 @@ class STDCContextPathNet(nn.Module):
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
         outs = list(MODELS.build(dict(self.backbone_cfg))(x, train=train))
+        # conv_avg / the ARM-following convs rely on mmcv ConvModule's
+        # default act_cfg=ReLU (``stdc.py:384-396``).
         avg_feat = ConvModule(self.last_in_channels[0], self.out_channels, 1,
-                              norm_cfg=norm_cfg,
+                              norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
                               name='conv_avg')(global_avg_pool(outs[-1]),
                                                train=train)
         feature_up = resize(avg_feat, outs[-1].shape[-3:-1],
@@ -192,6 +196,7 @@ class STDCContextPathNet(nn.Module):
                                 align_corners=bool(self.align_corners))
             feature_up = ConvModule(self.out_channels, self.out_channels, 3,
                                     padding=1, norm_cfg=norm_cfg,
+                                    act_cfg=dict(type='ReLU'),
                                     name=f'conv{i}')(feature_up, train=train)
             arms_out.append(feature_up)
 
