@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
+from lednet_tpu.models.layers import DropPath, drop_path_rates
 from lednet_tpu.registry import MODELS
 
 # mmpretrain arch tables.
@@ -52,9 +53,10 @@ class _LayerScale(nn.Module):
 class _ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init_value: float
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         shortcut = x
         x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
                     feature_group_count=self.dim, name='dwconv')(x)
@@ -65,7 +67,7 @@ class _ConvNeXtBlock(nn.Module):
         if self.layer_scale_init_value > 0:
             x = _LayerScale(self.dim, self.layer_scale_init_value,
                             name='ls')(x)
-        return shortcut + x
+        return shortcut + DropPath(self.drop_path)(x, train=train)
 
 
 @MODELS.register_module()
@@ -80,7 +82,7 @@ class ConvNeXt(nn.Module):
     arch: Any = 'tiny'
     in_channels: int = 3
     out_indices: Sequence[int] = (0, 1, 2, 3)
-    drop_path_rate: float = 0.0  # accepted; stochastic depth is a no-op here
+    drop_path_rate: float = 0.0
     layer_scale_init_value: float = 1e-6
     gap_before_final_norm: bool = False
     frozen_stages: int = 0
@@ -93,6 +95,8 @@ class ConvNeXt(nn.Module):
                 else dict(self.arch))
         depths, channels = arch['depths'], arch['channels']
         outs = []
+        dpr = drop_path_rates(self.drop_path_rate, depths)
+        done = 0
         for s, (depth, dim) in enumerate(zip(depths, channels)):
             if s == 0:
                 x = nn.Conv(dim, (4, 4), strides=(4, 4), padding='VALID',
@@ -104,7 +108,9 @@ class ConvNeXt(nn.Module):
                             name=f'down{s}_conv')(x)
             for b in range(depth):
                 x = _ConvNeXtBlock(dim, self.layer_scale_init_value,
-                                   name=f's{s}_b{b}')(x)
+                                   drop_path=dpr[done],
+                                   name=f's{s}_b{b}')(x, train=train)
+                done += 1
             if s in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-6, name=f'out_norm{s}')(x))
         return tuple(outs)

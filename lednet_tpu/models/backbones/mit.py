@@ -16,7 +16,7 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lednet_tpu.models.layers import kaiming_init
+from lednet_tpu.models.layers import DropPath, kaiming_init
 from lednet_tpu.registry import MODELS
 
 
@@ -35,9 +35,10 @@ class EfficientAttention(nn.Module):
 
         kv_in = x
         if self.sr_ratio > 1:
+            # torch Conv2d(k=sr, s=sr) truncates the remainder (pad 0)
             kv_in = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
-                            name='sr')(x)
+                            padding='VALID', name='sr')(x)
             kv_in = nn.LayerNorm(name='sr_norm')(kv_in)
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, name='kv')(kv_in)
         n_kv = kv_in.shape[1] * kv_in.shape[2]
@@ -91,6 +92,10 @@ class MixVisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        total = sum(self.num_layers)
+        dpr = [self.drop_path_rate * k / max(total - 1, 1)
+               for k in range(total)]
+        done = 0
         for i in range(self.num_stages):
             dim = self.embed_dims * self.num_heads[i]
             p = self.patch_sizes[i]
@@ -101,12 +106,15 @@ class MixVisionTransformer(nn.Module):
             x = nn.LayerNorm(name=f'embed_norm{i}')(x)
             for j in range(self.num_layers[i]):
                 h = nn.LayerNorm(name=f's{i}_b{j}_norm1')(x)
-                x = x + EfficientAttention(dim, self.num_heads[i],
-                                           self.sr_ratios[i], self.qkv_bias,
-                                           name=f's{i}_b{j}_attn')(h, train=train)
+                h = EfficientAttention(dim, self.num_heads[i],
+                                       self.sr_ratios[i], self.qkv_bias,
+                                       name=f's{i}_b{j}_attn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
                 h = nn.LayerNorm(name=f's{i}_b{j}_norm2')(x)
-                x = x + MixFFN(dim, dim * self.mlp_ratio,
-                               name=f's{i}_b{j}_ffn')(h, train=train)
+                h = MixFFN(dim, dim * self.mlp_ratio,
+                           name=f's{i}_b{j}_ffn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
+                done += 1
             x = nn.LayerNorm(name=f'stage_norm{i}')(x)
             outs.append(x)
         return tuple(outs[i] for i in self.out_indices)

@@ -12,7 +12,8 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lednet_tpu.models.layers import ConvModule, Norm2d, kaiming_init
+from lednet_tpu.models.layers import (ConvModule, DropPath, Norm2d,
+                                      kaiming_init)
 from lednet_tpu.registry import MODELS
 
 
@@ -41,6 +42,7 @@ class MSCABlock(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
     layer_scale_init: float = 1e-2
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,7 +60,8 @@ class MSCABlock(nn.Module):
         # MSCASpatialAttention adds its OWN shortcut of the normed input
         # (reference mscan.py:210-216) before the layer-scaled outer residual
         h = h + hn
-        x = x + ls1.astype(x.dtype) * h
+        x = x + DropPath(self.drop_path)(ls1.astype(x.dtype) * h,
+                                         train=train)
 
         h = Norm2d(dict(type='BN'), name='norm2')(x, train=train)
         hidden = int(d * self.mlp_ratio)
@@ -67,7 +70,8 @@ class MSCABlock(nn.Module):
                     feature_group_count=hidden, name='dw')(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(d, (1, 1), name='fc2')(h)
-        return x + ls2.astype(x.dtype) * h
+        return x + DropPath(self.drop_path)(ls2.astype(x.dtype) * h,
+                                            train=train)
 
 
 @MODELS.register_module()
@@ -89,6 +93,10 @@ class MSCAN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * k / max(total - 1, 1)
+               for k in range(total)]
+        done = 0
         for i, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             if i == 0:
                 # stem: two 3x3 s2 convs
@@ -106,7 +114,9 @@ class MSCAN(nn.Module):
                 x = Norm2d(dict(type='BN'), name=f'down_norm{i}')(x, train=train)
             for j in range(depth):
                 x = MSCABlock(dim, self.mlp_ratios[i],
+                              drop_path=dpr[done],
                               name=f's{i}_b{j}')(x, train=train)
+                done += 1
             x = nn.LayerNorm(name=f'stage_norm{i}')(x)
             outs.append(x)
         return tuple(outs[i] for i in self.out_indices)

@@ -44,7 +44,11 @@ class _ResBasicBlock(nn.Module):
             identity = x
             stride = self.stride
             if self.avg_down and stride != 1:
-                identity = avg_pool2d(identity, stride, stride, 0)
+                # reference res_layer.py: AvgPool2d(stride, stride,
+                # ceil_mode=True, count_include_pad=False)
+                identity = avg_pool2d(identity, stride, stride, 0,
+                                      count_include_pad=False,
+                                      ceil_mode=True)
                 stride = 1
             identity = nn.Conv(self.channels * self.expansion, (1, 1),
                                strides=(stride, stride), use_bias=False,
@@ -82,7 +86,11 @@ class _ResBottleneck(nn.Module):
             identity = x
             stride = self.stride
             if self.avg_down and stride != 1:
-                identity = avg_pool2d(identity, stride, stride, 0)
+                # reference res_layer.py: AvgPool2d(stride, stride,
+                # ceil_mode=True, count_include_pad=False)
+                identity = avg_pool2d(identity, stride, stride, 0,
+                                      count_include_pad=False,
+                                      ceil_mode=True)
                 stride = 1
             identity = nn.Conv(self.channels * self.expansion, (1, 1),
                                strides=(stride, stride), use_bias=False,
@@ -188,7 +196,9 @@ class ResNet(nn.Module):
             dilation = self.dilations[i]
             for j in range(stage_blocks[i]):
                 if self.multi_grid is not None and i == self.num_stages - 1:
-                    d = dilation * self.multi_grid[j % len(self.multi_grid)]
+                    # reference res_layer.py:68-92 — multi_grid entries are
+                    # ABSOLUTE per-block dilations for the last stage
+                    d = self.multi_grid[j % len(self.multi_grid)]
                 elif j == 0 and dilation > 1 and self.contract_dilation:
                     d = dilation // 2
                 else:

@@ -18,7 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lednet_tpu.models.layers import ConvModule, Norm2d, kaiming_init
+from lednet_tpu.models.layers import (ConvModule, DropPath, Norm2d,
+                                      kaiming_init)
 from lednet_tpu.models.ppm import DAPPM
 from lednet_tpu.ops.resize import resize_bilinear
 from lednet_tpu.registry import MODELS
@@ -91,19 +92,21 @@ class ConvolutionalAttention(nn.Module):
 class CFBlock(nn.Module):
     channels: int
     num_heads: int = 8
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x + ConvolutionalAttention(self.channels, self.channels,
-                                       num_heads=self.num_heads,
-                                       name='attn')(x, train=train)
+        h = ConvolutionalAttention(self.channels, self.channels,
+                                   num_heads=self.num_heads,
+                                   name='attn')(x, train=train)
+        x = x + DropPath(self.drop_path)(h, train=train)
         h = Norm2d(dict(type='BN', eps=1e-6), name='mlp_norm')(x, train=train)
         h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=kaiming_init, name='mlp_conv1')(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=kaiming_init, name='mlp_conv2')(h)
-        return x + h
+        return x + DropPath(self.drop_path)(h, train=train)
 
 
 @MODELS.register_module()
@@ -139,14 +142,14 @@ class SCTNet(nn.Module):
                    'layer2')                                          # 1/8
         x3 = stage(nn.relu(x2), 2 * c, 4 * c, self.layer_nums[2], 2,
                    'layer3')                                          # 1/16
-        x3 = CFBlock(4 * c, self.num_heads,
+        x3 = CFBlock(4 * c, self.num_heads, self.drop_path_rate,
                      name='layer3_2')(nn.relu(x3), train=train)
         x4 = ConvModule(4 * c, 8 * c, 3, stride=2, padding=1, bias=True,
                         norm_cfg=_BN, act_cfg=_RELU,
                         name='convdown4')(x3, train=train)            # 1/32
-        x4 = CFBlock(8 * c, self.num_heads,
+        x4 = CFBlock(8 * c, self.num_heads, self.drop_path_rate,
                      name='layer4')(nn.relu(x4), train=train)
-        x5 = CFBlock(8 * c, self.num_heads,
+        x5 = CFBlock(8 * c, self.num_heads, self.drop_path_rate,
                      name='layer5')(nn.relu(x4), train=train)
         x6 = DAPPM(8 * c, self.spp_channels, 2 * c, num_scales=5,
                    name='spp')(x5, train=train)

@@ -14,7 +14,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.mit import EfficientAttention
-from lednet_tpu.models.layers import kaiming_init
+from lednet_tpu.models.layers import (DropPath, kaiming_init,
+                                      drop_path_rates as _dpr)
 from lednet_tpu.registry import MODELS
 
 
@@ -65,6 +66,8 @@ class PCPVT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        dpr = _dpr(self.drop_path_rate, self.depths)
+        done = 0
         for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             p = self.patch_sizes[s]
             x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
@@ -74,12 +77,15 @@ class PCPVT(nn.Module):
             x = nn.LayerNorm(name=f'embed_norm{s}')(x)
             for b in range(depth):
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
-                x = x + EfficientAttention(dim, self.num_heads[s],
-                                           self.sr_ratios[s], self.qkv_bias,
-                                           name=f's{s}_b{b}_attn')(h, train=train)
+                h = EfficientAttention(dim, self.num_heads[s],
+                                       self.sr_ratios[s], self.qkv_bias,
+                                       name=f's{s}_b{b}_attn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
-                x = x + _FFN(dim, dim * self.mlp_ratios[s],
-                             name=f's{s}_b{b}_ffn')(h, train=train)
+                h = _FFN(dim, dim * self.mlp_ratios[s],
+                         name=f's{s}_b{b}_ffn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
+                done += 1
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:
@@ -98,6 +104,8 @@ class SVT(PCPVT):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        dpr = _dpr(self.drop_path_rate, self.depths)
+        done = 0
         for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             p = self.patch_sizes[s]
             x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
@@ -109,15 +117,18 @@ class SVT(PCPVT):
             for b in range(depth):
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
                 if b % 2 == 0:
-                    x = x + self._local_attn(h, dim, self.num_heads[s], ws,
-                                             f's{s}_b{b}')
+                    h = self._local_attn(h, dim, self.num_heads[s], ws,
+                                         f's{s}_b{b}')
                 else:
-                    x = x + EfficientAttention(
+                    h = EfficientAttention(
                         dim, self.num_heads[s], self.sr_ratios[s],
                         self.qkv_bias, name=f's{s}_b{b}_attn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
                 h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
-                x = x + _FFN(dim, dim * self.mlp_ratios[s],
-                             name=f's{s}_b{b}_ffn')(h, train=train)
+                h = _FFN(dim, dim * self.mlp_ratios[s],
+                         name=f's{s}_b{b}_ffn')(h, train=train)
+                x = x + DropPath(dpr[done])(h, train=train)
+                done += 1
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:

@@ -13,7 +13,8 @@ from typing import Any, Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lednet_tpu.ops.resize import resize_bilinear
+from lednet_tpu.models.layers import DropPath
+from lednet_tpu.ops.resize import resize
 from lednet_tpu.registry import MODELS
 
 
@@ -21,9 +22,11 @@ class _MHSA(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, N, C = x.shape
         hd = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name='qkv')(x)
@@ -32,9 +35,14 @@ class _MHSA(nn.Module):
         attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                           preferred_element_type=jnp.float32) * hd ** -0.5
         attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        if self.attn_drop:
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
-        return nn.Dense(C, name='proj')(out.reshape(B, N, C))
+        out = nn.Dense(C, name='proj')(out.reshape(B, N, C))
+        if self.proj_drop:
+            out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
 
 
 @MODELS.register_module()
@@ -65,12 +73,31 @@ class VisionTransformer(nn.Module):
     pretrained: Optional[str] = None
     init_cfg: Optional[Dict] = None
 
+    out_origin: bool = False
+    patch_pad: str = 'corner'
+    patch_bias: bool = False
+
+    def _grid_out(self, x, gh, gw):
+        """token sequence -> (NHWC grid[, cls]) per the output contract."""
+        B = x.shape[0]
+        out = x[:, 1:] if self.with_cls_token else x
+        out = out.reshape(B, gh, gw, self.embed_dims)
+        if self.output_cls_token and self.with_cls_token:
+            # (feature map, cls token) pairs — the contract SAN's
+            # side adapter + mask recognition consume
+            return (out, x[:, 0])
+        return out
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, _ = x.shape
         p = self.patch_size
-        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
-                    name='patch_embed')(x)
+        # mmcv PatchEmbed pads 'corner': bottom/right only, then VALID conv
+        pad_h, pad_w = (-H) % p, (-W) % p
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding='VALID',
+                    use_bias=self.patch_bias, name='patch_embed')(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(B, gh * gw, self.embed_dims)
 
@@ -78,54 +105,61 @@ class VisionTransformer(nn.Module):
             nb_h, nb_w = self.img_size[0] // p, self.img_size[1] // p
         else:
             nb_h = nb_w = self.img_size // p
+        # pos_embed always carries the cls slot, as the reference does
+        # (``vit.py:265-267``) even when with_cls_token=False.
         pos = self.param('pos_embed', nn.initializers.truncated_normal(0.02),
-                         (1, nb_h * nb_w + (1 if self.with_cls_token else 0),
-                          self.embed_dims), jnp.float32)
-        if self.with_cls_token:
-            cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
-        else:
-            cls_pos, grid_pos = None, pos
+                         (1, nb_h * nb_w + 1, self.embed_dims), jnp.float32)
+        cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
         grid_pos = grid_pos.reshape(1, nb_h, nb_w, self.embed_dims)
         if (gh, gw) != (nb_h, nb_w):
-            grid_pos = resize_bilinear(grid_pos, (gh, gw), False)
+            # reference resize_pos_embed (``vit.py:416-444``):
+            # interpolate_mode (bicubic default), align_corners=False
+            grid_pos = resize(grid_pos, (gh, gw), mode=self.interpolate_mode,
+                              align_corners=False)
         grid_pos = grid_pos.reshape(1, gh * gw, self.embed_dims)
 
-        if self.with_cls_token:
-            cls = self.param('cls_token', nn.initializers.zeros,
-                             (1, 1, self.embed_dims), jnp.float32)
-            x = jnp.concatenate(
-                [jnp.broadcast_to(cls, (B, 1, self.embed_dims)).astype(x.dtype),
-                 x], axis=1)
-            x = x + jnp.concatenate([cls_pos, grid_pos], axis=1).astype(x.dtype)
-        else:
-            x = x + grid_pos.astype(x.dtype)
+        cls = self.param('cls_token', nn.initializers.zeros,
+                         (1, 1, self.embed_dims), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.embed_dims)).astype(x.dtype),
+             x], axis=1)
+        x = x + jnp.concatenate([cls_pos, grid_pos], axis=1).astype(x.dtype)
+        if self.drop_rate:
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        if not self.with_cls_token:
+            x = x[:, 1:]
+        if self.pre_norm:
+            x = nn.LayerNorm(name='pre_ln')(x)
 
         outs = []
+        if self.out_origin:
+            outs.append(self._grid_out(x, gh, gw))
+        dpr = [self.drop_path_rate * i / max(self.num_layers - 1, 1)
+               for i in range(self.num_layers)]
+        last = self.num_layers - 1
         for i in range(self.num_layers):
             h = nn.LayerNorm(name=f'b{i}_norm1')(x)
-            x = x + _MHSA(self.embed_dims, self.num_heads, self.qkv_bias,
-                          name=f'b{i}_attn')(h)
+            h = _MHSA(self.embed_dims, self.num_heads, self.qkv_bias,
+                      self.attn_drop_rate, self.drop_rate,
+                      name=f'b{i}_attn')(h, train=train)
+            x = x + DropPath(dpr[i])(h, train=train)
             h = nn.LayerNorm(name=f'b{i}_norm2')(x)
             m = nn.Dense(self.embed_dims * self.mlp_ratio,
                          name=f'b{i}_fc1')(h)
             m = nn.gelu(m, approximate=False)
-            x = x + nn.Dense(self.embed_dims, name=f'b{i}_fc2')(m)
+            if self.drop_rate:
+                m = nn.Dropout(self.drop_rate, deterministic=not train)(m)
+            m = nn.Dense(self.embed_dims, name=f'b{i}_fc2')(m)
+            if self.drop_rate:
+                m = nn.Dropout(self.drop_rate, deterministic=not train)(m)
+            x = x + DropPath(dpr[i])(m, train=train)
+            if i == last and self.final_norm:
+                # the reference norms the token stream itself after the
+                # last layer (``vit.py:478-481``) — outputs taken at
+                # earlier indices stay un-normed.
+                x = nn.LayerNorm(name='final_norm')(x)
             if i in self.out_indices:
-                out = x[:, 1:] if self.with_cls_token else x
-                out = out.reshape(B, gh, gw, self.embed_dims)
-                if self.output_cls_token and self.with_cls_token:
-                    # (feature map, cls token) pairs — the contract SAN's
-                    # side adapter + mask recognition consume
-                    outs.append((out, x[:, 0]))
-                else:
-                    outs.append(out)
-        if self.final_norm and outs:
-            if self.output_cls_token and self.with_cls_token:
-                feat, cls = outs[-1]
-                ln = nn.LayerNorm(name='final_norm')
-                outs[-1] = (ln(feat), ln(cls))
-            else:
-                outs[-1] = nn.LayerNorm(name='final_norm')(outs[-1])
+                outs.append(self._grid_out(x, gh, gw))
         return tuple(outs)
 
 
@@ -174,11 +208,17 @@ class SwinTransformer(nn.Module):
         ws = self.window_size
         outs = []
         dim = self.embed_dims
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        done = 0
         for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for b in range(depth):
                 shift = (ws // 2) if b % 2 == 1 else 0
                 x = self._block(x, dim, heads, ws, shift, train,
-                                name_prefix=f's{s}_b{b}')
+                                name_prefix=f's{s}_b{b}',
+                                drop_path=dpr[done])
+                done += 1
             outs.append(nn.LayerNorm(name=f'out_norm{s}')(x))
             if s < len(self.depths) - 1:
                 # patch merging: 2x2 neighborhood concat + linear reduce
@@ -195,7 +235,8 @@ class SwinTransformer(nn.Module):
                 dim *= 2
         return tuple(outs[i] for i in self.out_indices)
 
-    def _block(self, x, dim, heads, ws, shift, train, name_prefix):
+    def _block(self, x, dim, heads, ws, shift, train, name_prefix,
+               drop_path=0.0):
         import numpy as np
         from lednet_tpu.models.getb import _relative_position_index
         B, H, W, C = x.shape
@@ -253,8 +294,9 @@ class SwinTransformer(nn.Module):
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
         out = out[:, :H, :W, :]
         out = nn.Dense(C, name=f'{name_prefix}_proj')(out)
-        x = x + out
+        x = x + DropPath(drop_path)(out, train=train)
         h = nn.LayerNorm(name=f'{name_prefix}_norm2')(x)
         m = nn.Dense(C * self.mlp_ratio, name=f'{name_prefix}_fc1')(h)
         m = nn.gelu(m, approximate=False)
-        return x + nn.Dense(C, name=f'{name_prefix}_fc2')(m)
+        m = nn.Dense(C, name=f'{name_prefix}_fc2')(m)
+        return x + DropPath(drop_path)(m, train=train)

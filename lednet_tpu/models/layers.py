@@ -15,6 +15,7 @@ import functools
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _Size = Union[int, Tuple[int, int]]
@@ -221,6 +222,29 @@ class Bottleneck(nn.Module):
         if self.act_out:
             out = nn.relu(out)
         return out
+
+
+def drop_path_rates(drop_path_rate: float, depths) -> list:
+    """Per-block stochastic-depth rates, linearly scaled over the total
+    depth (torch ``linspace(0, rate, sum(depths))``)."""
+    total = sum(depths)
+    return [drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm ``DropPath``, used by the
+    reference's transformer backbones via mmcv). Scales the kept residual
+    branch by 1/keep_prob; identity when ``rate == 0`` or at eval."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng('dropout'), keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
 
 
 class BasicBlockHalf(nn.Module):

@@ -23,22 +23,39 @@ def _pair(v: _Size) -> Tuple[int, int]:
 
 
 def avg_pool2d(x: jnp.ndarray, kernel_size: _Size, stride: _Size = None,
-               padding: _Size = 0, count_include_pad: bool = True) -> jnp.ndarray:
+               padding: _Size = 0, count_include_pad: bool = True,
+               ceil_mode: bool = False) -> jnp.ndarray:
     """torch-style average pooling over NHWC. Zero-padded; window size divisor
-    includes padded cells when ``count_include_pad`` (the torch default)."""
+    includes padded cells when ``count_include_pad`` (the torch default).
+    ``ceil_mode`` keeps windows whose start is in-bounds (extra bottom/right
+    coverage); cells past the input never count toward the divisor, matching
+    torch."""
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
     ph, pw = _pair(padding)
+    eh = ew = 0
+    if ceil_mode:
+        in_h, in_w = x.shape[1], x.shape[2]
+        eh = (-(in_h + 2 * ph - kh)) % sh
+        ew = (-(in_w + 2 * pw - kw)) % sw
     dims = (1, kh, kw, 1)
     strides = (1, sh, sw, 1)
-    pads = ((0, 0), (ph, ph), (pw, pw), (0, 0))
+    pads = ((0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0))
     summed = jax.lax.reduce_window(x.astype(jnp.float32), 0.0, jax.lax.add,
                                    dims, strides, pads)
-    if count_include_pad:
+    if count_include_pad and not (eh or ew):
         out = summed / float(kh * kw)
     else:
-        ones = jnp.ones(x.shape[:1] + x.shape[1:3] + (1,), jnp.float32)
-        counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
+        if count_include_pad:
+            # explicit padding counts, the ceil-overhang does not
+            ones = jnp.ones((1, x.shape[1] + 2 * ph, x.shape[2] + 2 * pw, 1),
+                            jnp.float32)
+            cpads = ((0, 0), (0, eh), (0, ew), (0, 0))
+        else:
+            ones = jnp.ones((1,) + x.shape[1:3] + (1,), jnp.float32)
+            cpads = pads
+        counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides,
+                                       cpads)
         out = summed / counts
     return out.astype(x.dtype)
 

@@ -67,6 +67,55 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int],
     return xf.astype(orig_dtype)
 
 
+def _cubic_weights(out_size: int, in_size: int, align_corners: bool):
+    """(idx, weight) arrays of shape (out, 4) for torch-parity bicubic
+    (``upsample_bicubic2d``: Keys kernel with A=-0.75, clamped taps)."""
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    elif align_corners:
+        src = np.zeros((out_size,), dtype=np.float64)
+    else:
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+    f = np.floor(src)
+    t = src - f
+
+    a = -0.75
+
+    def w1(d):  # |d| <= 1
+        return ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+
+    def w2(d):  # 1 < |d| < 2
+        return (((d - 5.0) * d + 8.0) * d - 4.0) * a
+
+    weights = np.stack([w2(t + 1.0), w1(t), w1(1.0 - t), w2(2.0 - t)], axis=1)
+    idx = np.clip(f[:, None].astype(np.int64) + np.arange(-1, 3)[None, :],
+                  0, in_size - 1)
+    return idx.astype(np.int32), weights.astype(np.float32)
+
+
+def resize_bicubic(x: jnp.ndarray, size: Sequence[int],
+                   align_corners: bool = False) -> jnp.ndarray:
+    """Bicubic resize of an ...HWC tensor, bit-matching torch's
+    ``F.interpolate(mode='bicubic')`` (A=-0.75, border-clamped taps)."""
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    out_h, out_w = int(size[0]), int(size[1])
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if in_h != out_h:
+        idx, w = _cubic_weights(out_h, in_h, align_corners)
+        taps = jnp.take(xf, jnp.asarray(idx.reshape(-1)), axis=-3)
+        taps = taps.reshape(xf.shape[:-3] + (out_h, 4) + xf.shape[-2:])
+        xf = jnp.einsum('...hkwc,hk->...hwc', taps, jnp.asarray(w))
+    if in_w != out_w:
+        idx, w = _cubic_weights(out_w, in_w, align_corners)
+        taps = jnp.take(xf, jnp.asarray(idx.reshape(-1)), axis=-2)
+        taps = taps.reshape(xf.shape[:-2] + (out_w, 4) + xf.shape[-1:])
+        xf = jnp.einsum('...wkc,wk->...wc', taps, jnp.asarray(w))
+    return xf.astype(orig_dtype)
+
+
 def resize_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """Nearest-neighbour resize (torch legacy 'nearest' rounding)."""
     in_h, in_w = x.shape[-3], x.shape[-2]
@@ -93,6 +142,8 @@ def resize(x: jnp.ndarray,
     size = tuple(int(s) for s in size)
     if mode == 'bilinear':
         return resize_bilinear(x, size, align_corners)
+    if mode == 'bicubic':
+        return resize_bicubic(x, size, align_corners)
     if mode == 'nearest':
         return resize_nearest(x, size)
     raise ValueError(f'Unsupported resize mode: {mode}')
