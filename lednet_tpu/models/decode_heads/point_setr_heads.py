@@ -339,12 +339,41 @@ class SETRMLAHead(_HeadBase):
                       self.dropout_ratio, name='cls')(out, train=train)
 
 
-@MODELS.register_module()
+class _PreActRCU(nn.Module):
+    """Pre-activation residual conv unit (reference ``dpt_head.py:100-147``):
+    two (act -> 3x3 conv(bias=False) -> BN) layers + identity."""
+    channels: int
+    norm_cfg: Optional[Dict] = None
+    act_cfg: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
+        h = ConvModule(self.channels, self.channels, 3, padding=1,
+                       bias=False, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       order=('act', 'conv', 'norm'),
+                       name='conv1')(x, train=train)
+        h = ConvModule(self.channels, self.channels, 3, padding=1,
+                       bias=False, norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       order=('act', 'conv', 'norm'),
+                       name='conv2')(h, train=train)
+        return h + x
+
+
+@MODELS.register_module(name='DPTHead')
 class DPTHead(_HeadBase):
-    """DPT reassemble + residual fusion head (simplified: conv projections,
-    top-down residual conv fusion, final head)."""
+    """DPT head (reference ``dpt_head.py:216-294``): ReassembleBlocks
+    (readout ignore/add/project, per-stage 1x1 projection + 4x/2x/1x/0.5x
+    resample pyramid), 3x3 convs to ``channels``, top-down
+    FeatureFusionBlocks of pre-act residual conv units with 2x upsampling
+    (align_corners=True inside the fusion blocks), 3x3 project + cls_seg.
+    Inputs are the ViT's ``(feature, cls_token)`` pairs
+    (``output_cls_token=True``) or plain grids with readout 'ignore'."""
+    embed_dims: int = 768
     post_process_channels: Sequence[int] = (96, 192, 384, 768)
     readout_type: str = 'ignore'
+    patch_size: int = 16
     expand_channels: bool = False
     in_index: Sequence[int] = (0, 1, 2, 3)
     input_transform: Optional[str] = 'multiple_select'
@@ -353,26 +382,71 @@ class DPTHead(_HeadBase):
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
-        xs = select_inputs(inputs, self.in_index, 'multiple_select',
-                           self.align_corners)
-        # project every level to `channels`
-        proj = [ConvModule(x.shape[-1], self.channels, 3, padding=1,
-                           norm_cfg=None, act_cfg=None,
-                           name=f'reassemble{i}')(x, train=train)
-                for i, x in enumerate(xs)]
-        # top-down residual fusion to the finest level
-        h = proj[-1]
-        for i in range(len(proj) - 2, -1, -1):
-            h = resize_bilinear(h, proj[i].shape[-3:-1], self.align_corners)
-            r = ConvModule(self.channels, self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name=f'res{i}')(proj[i], train=train)
-            h = h + r
-            h = ConvModule(self.channels, self.channels, 3, padding=1,
-                           norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name=f'fuse{i}')(h, train=train)
+        xs = [inputs[i] for i in self.in_index]
+
+        # --- ReassembleBlocks (dpt_head.py:14-97) ---
+        reassembled = []
+        for i, item in enumerate(xs):
+            if isinstance(item, (tuple, list)):
+                x, cls_token = item
+            else:
+                x, cls_token = item, None
+            B, H, W, C = x.shape
+            if self.readout_type == 'project' and cls_token is not None:
+                readout = jnp.broadcast_to(cls_token[:, None, None, :],
+                                           x.shape)
+                x = nn.Dense(C, name=f'readout{i}')(
+                    jnp.concatenate([x, readout], axis=-1))
+                x = nn.gelu(x, approximate=False)
+            elif self.readout_type == 'add' and cls_token is not None:
+                x = x + cls_token[:, None, None, :]
+            ch = int(self.post_process_channels[i])
+            x = ConvModule(C, ch, 1, act_cfg=None,
+                           name=f'project{i}')(x, train=train)
+            if i == 0:
+                x = nn.ConvTranspose(ch, (4, 4), strides=(4, 4),
+                                     padding=((3, 3), (3, 3)),
+                                     transpose_kernel=True,
+                                     name='resize0')(x)
+            elif i == 1:
+                x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                     padding=((1, 1), (1, 1)),
+                                     transpose_kernel=True,
+                                     name='resize1')(x)
+            elif i == 3:
+                x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name='resize3')(x)
+            reassembled.append(x)
+
+        # expand_channels scales each stage by 2^i (dpt_head.py:253-256)
+        chans = [int(c * 2 ** i) if self.expand_channels else int(c)
+                 for i, c in enumerate(self.post_process_channels)]
+        feats = [ConvModule(chans[i], self.channels, 3, padding=1,
+                            bias=False, act_cfg=None,
+                            name=f'conv{i}')(f, train=train)
+                 for i, f in enumerate(reassembled)]
+
+        # --- FeatureFusionBlocks, deepest first (dpt_head.py:150-293) ---
+        out = None
+        for i in range(len(feats)):
+            x = feats[-1] if i == 0 else out
+            if i > 0:
+                res = feats[-(i + 1)]
+                if res.shape[-3:-1] != x.shape[-3:-1]:
+                    res = resize_bilinear(res, x.shape[-3:-1], False)
+                x = x + _PreActRCU(self.channels, norm_cfg, act_cfg,
+                                   name=f'fusion{i}_rcu1')(res, train=train)
+            x = _PreActRCU(self.channels, norm_cfg, act_cfg,
+                           name=f'fusion{i}_rcu2')(x, train=train)
+            x = resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2), True)
+            out = ConvModule(self.channels, self.channels, 1, act_cfg=None,
+                             name=f'fusion{i}_project')(x, train=train)
+
+        out = ConvModule(self.channels, self.channels, 3, padding=1,
+                         norm_cfg=norm_cfg, act_cfg=dict(type='ReLU'),
+                         name='project')(out, train=train)
         return ClsSeg(self.channels, self.num_out_channels,
-                      self.dropout_ratio, name='cls')(h, train=train)
+                      self.dropout_ratio, name='cls')(out, train=train)
 
 
 @MODELS.register_module()

@@ -65,9 +65,13 @@ def test_psa_setr_dpt_segmenter_heads():
                          channels=32, mla_channels=8, up_scale=2,
                          num_classes=3, in_index=[0, 1, 2, 3]), feats)
     assert out.shape == (1, 16, 16, 3)
+    # DPT reassembles 8x8 token grids into a 32/16/8/4 pyramid and the
+    # fusion blocks upsample x2 each, so logits land at 8x the grid
+    # (reference dpt_head.py:47-67,205-211).
     out = _run_head(dict(type='DPTHead', in_channels=[16] * 4, channels=16,
-                         num_classes=3, in_index=[0, 1, 2, 3]), feats)
-    assert out.shape == (1, 8, 8, 3)
+                         num_classes=3, in_index=[0, 1, 2, 3],
+                         post_process_channels=[8, 16, 24, 32]), feats)
+    assert out.shape == (1, 64, 64, 3)
     out = _run_head(dict(type='SegmenterMaskTransformerHead', in_channels=16,
                          channels=16, embed_dims=16, num_heads=2,
                          num_classes=3, in_index=3), feats)

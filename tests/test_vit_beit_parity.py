@@ -180,3 +180,152 @@ def test_beit_attention_matches_torch(rng):
     out_t = tok[:, 1:].reshape(1, gh, gw, D).numpy()
     np.testing.assert_allclose(np.asarray(out_j), out_t,
                                atol=2e-4, rtol=2e-4)
+
+
+def test_dpt_head_matches_torch(rng):
+    """Full DPT head, readout='project', vs a torch reimplementation of
+    reference ``dpt_head.py`` with transplanted weights."""
+    from lednet_tpu.models.decode_heads.point_setr_heads import DPTHead
+
+    C, CH = 12, 8
+    ppc = (6, 12, 24, 48)
+    head = DPTHead(in_channels=(C,) * 4, channels=CH, num_classes=4,
+                   embed_dims=C, post_process_channels=ppc,
+                   readout_type='project', dropout_ratio=0.0,
+                   in_index=(0, 1, 2, 3))
+    feats = []
+    for _ in range(4):
+        feats.append((
+            jnp.asarray(rng.standard_normal((1, 4, 4, C)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((1, C)).astype(np.float32))))
+    v = head.init({'params': jax.random.PRNGKey(0)}, list(feats), train=False)
+    flat = jax.tree_util.tree_map(
+        lambda t: jnp.asarray(
+            rng.standard_normal(t.shape).astype(np.float32) * 0.1),
+        v['params'])
+    # keep BN stats neutral-but-random
+    stats = jax.tree_util.tree_map(
+        lambda t: jnp.asarray(
+            rng.standard_normal(t.shape).astype(np.float32) * 0.05
+            + (1.0 if float(t.mean()) > 0.5 else 0.0)),
+        v.get('batch_stats', {}))
+    v = {'params': flat, 'batch_stats': stats}
+    out_j = head.apply(v, list(feats), train=False)
+
+    p, s = v['params'], v['batch_stats']
+
+    def conv_bn(name, cin, cout, k, stride=1, pad=0, bias=True, bn=False):
+        conv = tnn.Conv2d(cin, cout, k, stride, pad, bias=bias)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(p[name]['conv']['kernel']), (3, 2, 0, 1)).copy()))
+            if bias:
+                conv.bias.copy_(torch.from_numpy(
+                    np.asarray(p[name]['conv']['bias']).copy()))
+        if not bn:
+            return conv, None
+        norm = tnn.BatchNorm2d(cout)
+        with torch.no_grad():
+            norm.weight.copy_(torch.from_numpy(
+                np.asarray(p[name]['norm']['bn']['scale']).copy()))
+            norm.bias.copy_(torch.from_numpy(
+                np.asarray(p[name]['norm']['bn']['bias']).copy()))
+            norm.running_mean.copy_(torch.from_numpy(
+                np.asarray(s[name]['norm']['bn']['mean']).copy()))
+            norm.running_var.copy_(torch.from_numpy(
+                np.asarray(s[name]['norm']['bn']['var']).copy()))
+        norm.eval()
+        return conv, norm
+
+    def rcu(prefix, x):
+        # act -> conv(bias=False) -> BN, twice, + identity
+        h = x
+        for cname in ('conv1', 'conv2'):
+            conv = tnn.Conv2d(CH, CH, 3, 1, 1, bias=False)
+            bn = tnn.BatchNorm2d(CH)
+            q = p[prefix][cname]
+            qs = s[prefix][cname]
+            with torch.no_grad():
+                conv.weight.copy_(torch.from_numpy(np.transpose(
+                    np.asarray(q['conv']['kernel']), (3, 2, 0, 1)).copy()))
+                bn.weight.copy_(torch.from_numpy(
+                    np.asarray(q['norm']['bn']['scale']).copy()))
+                bn.bias.copy_(torch.from_numpy(
+                    np.asarray(q['norm']['bn']['bias']).copy()))
+                bn.running_mean.copy_(torch.from_numpy(
+                    np.asarray(qs['norm']['bn']['mean']).copy()))
+                bn.running_var.copy_(torch.from_numpy(
+                    np.asarray(qs['norm']['bn']['var']).copy()))
+            bn.eval()
+            h = bn(conv(F.relu(h)))
+        return h + x
+
+    with torch.no_grad():
+        reassembled = []
+        for i, (x, cls) in enumerate(feats):
+            xt = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+            clst = torch.from_numpy(np.asarray(cls))
+            # readout 'project'
+            B, _, H, W = xt.shape
+            tok = xt.flatten(2).permute(0, 2, 1)
+            readout = clst.unsqueeze(1).expand_as(tok)
+            lin = tnn.Linear(2 * C, C)
+            _dense_to_torch(lin, p[f'readout{i}'])
+            tok = F.gelu(lin(torch.cat([tok, readout], -1)))
+            xt = tok.permute(0, 2, 1).reshape(B, C, H, W)
+            proj, _ = conv_bn(f'project{i}', C, ppc[i], 1)
+            xt = proj(xt)
+            if i == 0:
+                dz = tnn.ConvTranspose2d(ppc[0], ppc[0], 4, 4, 0)
+                dz.weight.copy_(torch.from_numpy(np.transpose(
+                    np.asarray(p['resize0']['kernel']), (3, 2, 0, 1)).copy()))
+                dz.bias.copy_(torch.from_numpy(
+                    np.asarray(p['resize0']['bias']).copy()))
+                xt = dz(xt)
+            elif i == 1:
+                dz = tnn.ConvTranspose2d(ppc[1], ppc[1], 2, 2, 0)
+                dz.weight.copy_(torch.from_numpy(np.transpose(
+                    np.asarray(p['resize1']['kernel']), (3, 2, 0, 1)).copy()))
+                dz.bias.copy_(torch.from_numpy(
+                    np.asarray(p['resize1']['bias']).copy()))
+                xt = dz(xt)
+            elif i == 3:
+                cz = tnn.Conv2d(ppc[3], ppc[3], 3, 2, 1)
+                cz.weight.copy_(torch.from_numpy(np.transpose(
+                    np.asarray(p['resize3']['kernel']), (3, 2, 0, 1)).copy()))
+                cz.bias.copy_(torch.from_numpy(
+                    np.asarray(p['resize3']['bias']).copy()))
+                xt = cz(xt)
+            reassembled.append(xt)
+        levels = []
+        for i, xt in enumerate(reassembled):
+            conv, _ = conv_bn(f'conv{i}', ppc[i], CH, 3, 1, 1, bias=False)
+            levels.append(conv(xt))
+        out = None
+        for i in range(4):
+            x = levels[-1] if i == 0 else out
+            if i > 0:
+                res = levels[-(i + 1)]
+                if res.shape[2:] != x.shape[2:]:
+                    res = F.interpolate(res, size=x.shape[2:],
+                                        mode='bilinear', align_corners=False)
+                x = x + rcu(f'fusion{i}_rcu1', res)
+            x = rcu(f'fusion{i}_rcu2', x)
+            x = F.interpolate(x, scale_factor=2, mode='bilinear',
+                              align_corners=True)
+            proj, _ = conv_bn(f'fusion{i}_project', CH, CH, 1)
+            out = proj(x)
+        proj, bn = conv_bn('project', CH, CH, 3, 1, 1, bias=False, bn=True)
+        out = F.relu(bn(proj(out)))
+        cls_conv = tnn.Conv2d(CH, 4, 1)
+        with torch.no_grad():
+            cls_conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(p['cls']['conv_seg']['kernel']),
+                (3, 2, 0, 1)).copy()))
+            cls_conv.bias.copy_(torch.from_numpy(
+                np.asarray(p['cls']['conv_seg']['bias']).copy()))
+        out_t = cls_conv(out)
+
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=2e-3)
