@@ -537,7 +537,7 @@ class ANNHead(_HeadBase):
             q_in = high
             if qs > 1:
                 q_in = nn.max_pool(high, (qs, qs), strides=(qs, qs))
-            ctx = ctx + SelfAttentionBlock(
+            a = SelfAttentionBlock(
                 key_in_channels=low.shape[-1], query_in_channels=hc,
                 channels=pc, out_channels=hc, share_key_query=False,
                 key_query_num_convs=1, key_query_norm=True,
@@ -546,6 +546,11 @@ class ANNHead(_HeadBase):
                 key_pool_scales=self.key_pool_scales,
                 norm_cfg=norm_cfg, act_cfg=act_cfg,
                 name=f'fusion_q{qs}')(q_in, low, train=train)
+            if qs > 1:
+                # reference _SelfAttentionBlock resizes the downsampled-
+                # query output back (self_attention_block.py forward)
+                a = resize_bilinear(a, high.shape[-3:-1], False)
+            ctx = ctx + a
         out = ConvModule(2 * hc, hc, 1, norm_cfg=norm_cfg, act_cfg=None,
                          name='fusion_bottleneck')(
             jnp.concatenate([ctx, high], axis=-1), train=train)
@@ -561,7 +566,7 @@ class ANNHead(_HeadBase):
             q_in = out
             if qs > 1:
                 q_in = nn.max_pool(out, (qs, qs), strides=(qs, qs))
-            ctx2 = ctx2 + SelfAttentionBlock(
+            a = SelfAttentionBlock(
                 key_in_channels=self.channels,
                 query_in_channels=self.channels,
                 channels=pc, out_channels=self.channels, share_key_query=True,
@@ -571,6 +576,9 @@ class ANNHead(_HeadBase):
                 key_pool_scales=self.key_pool_scales,
                 norm_cfg=norm_cfg, act_cfg=act_cfg,
                 name=f'context_q{qs}')(q_in, out, train=train)
+            if qs > 1:
+                a = resize_bilinear(a, out.shape[-3:-1], False)
+            ctx2 = ctx2 + a
         out = ConvModule(2 * self.channels, self.channels, 1,
                          norm_cfg=norm_cfg, act_cfg=act_cfg,
                          name='context_bottleneck')(

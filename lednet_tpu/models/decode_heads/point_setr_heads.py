@@ -323,10 +323,11 @@ class SETRMLAHead(_HeadBase):
                            self.align_corners)
         outs = []
         for i, x in enumerate(xs):
-            h = nn.LayerNorm(name=f'ln{i}')(x)
-            h = ConvModule(h.shape[-1], self.mla_channels, 3, padding=1,
+            # no per-level LN here — MLANeck carries it
+            # (reference setr_mla_head.py:32-53)
+            h = ConvModule(x.shape[-1], self.mla_channels, 3, padding=1,
                            norm_cfg=norm_cfg, act_cfg=act_cfg,
-                           name=f'conv{i}a')(h, train=train)
+                           name=f'conv{i}a')(x, train=train)
             h = ConvModule(self.mla_channels, self.mla_channels, 3, padding=1,
                            norm_cfg=norm_cfg, act_cfg=act_cfg,
                            name=f'conv{i}b')(h, train=train)
@@ -451,43 +452,54 @@ class DPTHead(_HeadBase):
 
 @MODELS.register_module()
 class SegmenterMaskTransformerHead(_HeadBase):
-    """Segmenter: class embeddings attend with patch tokens; masks are the
-    normalized patch/class dot products."""
+    """Segmenter (reference ``segmenter_mask_head.py:40-131``): project
+    patches, append learned class embeddings, run transformer layers (with
+    stochastic depth), decoder LN, L2-normalized patch/class projections,
+    dot-product masks, LayerNorm over the class dimension (``mask_norm``)."""
     num_layers: int = 2
     num_heads: int = 6
     embed_dims: int = 192
     mlp_ratio: int = 4
+    drop_path_rate: float = 0.1
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    qkv_bias: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
         from lednet_tpu.models.backbones.vit import _MHSA
+        from lednet_tpu.models.layers import DropPath
         x = select_inputs(inputs, self.in_index, self.input_transform,
                           self.align_corners)
         if isinstance(x, (list, tuple)):
             x = x[-1]
         B, H, W, C = x.shape
         d = self.embed_dims
+        # tokens FIRST, class embeddings appended after (reference :117)
         tokens = nn.Dense(d, name='proj_input')(x).reshape(B, H * W, d)
         cls = self.param('cls_emb', nn.initializers.truncated_normal(0.02),
                          (1, self.num_classes, d), jnp.float32)
         cls = jnp.broadcast_to(cls, (B, self.num_classes, d)).astype(tokens.dtype)
         h = jnp.concatenate([tokens, cls], axis=1)
+        dpr = [self.drop_path_rate * i / max(self.num_layers - 1, 1)
+               for i in range(self.num_layers)]
         for i in range(self.num_layers):
             n1 = nn.LayerNorm(name=f'b{i}_norm1')(h)
-            h = h + _MHSA(d, self.num_heads, name=f'b{i}_attn')(n1)
+            a = _MHSA(d, self.num_heads, self.qkv_bias, self.attn_drop_rate,
+                      self.drop_rate, name=f'b{i}_attn')(n1, train=train)
+            h = h + DropPath(dpr[i])(a, train=train)
             n2 = nn.LayerNorm(name=f'b{i}_norm2')(h)
             m = nn.Dense(d * self.mlp_ratio, name=f'b{i}_fc1')(n2)
-            h = h + nn.Dense(d, name=f'b{i}_fc2')(nn.gelu(m, approximate=False))
+            m = nn.Dense(d, name=f'b{i}_fc2')(nn.gelu(m, approximate=False))
+            h = h + DropPath(dpr[i])(m, train=train)
         h = nn.LayerNorm(name='norm_out')(h)
         patches, cls_tok = h[:, :H * W], h[:, H * W:]
         patches = nn.Dense(d, use_bias=False, name='patch_proj')(patches)
         cls_tok = nn.Dense(d, use_bias=False, name='cls_proj')(cls_tok)
-        patches = patches / (1e-6 + jnp.linalg.norm(patches, axis=-1,
-                                                    keepdims=True))
-        cls_tok = cls_tok / (1e-6 + jnp.linalg.norm(cls_tok, axis=-1,
-                                                    keepdims=True))
+        patches = patches / jnp.maximum(
+            jnp.linalg.norm(patches, axis=-1, keepdims=True), 1e-12)
+        cls_tok = cls_tok / jnp.maximum(
+            jnp.linalg.norm(cls_tok, axis=-1, keepdims=True), 1e-12)
         masks = jnp.einsum('bnd,bkd->bnk', patches, cls_tok)
-        temp = self.param('mask_norm_scale', nn.initializers.ones, (),
-                          jnp.float32)
-        return (masks * temp.astype(masks.dtype) * 10.0).reshape(
-            B, H, W, self.num_classes)
+        masks = nn.LayerNorm(name='mask_norm')(masks)
+        return masks.reshape(B, H, W, self.num_classes)

@@ -245,7 +245,7 @@ class Feature2Pyramid(nn.Module):
                                      name=f'up4a_{i}')(x)
                 x = Norm2d(self.norm_cfg or dict(type='SyncBN'),
                            name=f'up4n_{i}')(x, train=train)
-                x = nn.gelu(x)
+                x = nn.gelu(x, approximate=False)
                 x = nn.ConvTranspose(self.embed_dim, (2, 2), strides=(2, 2),
                                      name=f'up4b_{i}')(x)
             elif k == 2:
