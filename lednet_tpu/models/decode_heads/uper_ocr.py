@@ -177,29 +177,38 @@ class LRASPPHead(_HeadBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, with_aux: bool = True):
+        from lednet_tpu.ops import avg_pool2d
         norm_cfg = self.norm_cfg or dict(type='BN')
+        act_cfg = self.act_cfg or dict(type='ReLU')
         xs = select_inputs(inputs, self.in_index, 'multiple_select',
                            self.align_corners)
         deep = xs[-1]
-        x = ConvModule(deep.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
-                       act_cfg=dict(type='ReLU'), name='aspp_conv')(deep,
-                                                                    train=train)
-        # image-pool gate (the reference uses a large-stride avg pool)
-        gate = nn.sigmoid(ConvModule(deep.shape[-1], self.channels, 1,
-                                     norm_cfg=None, act_cfg=None,
-                                     name='image_pool')(global_avg_pool(deep),
-                                                        train=train))
-        x = x * gate
-        for i, mid in enumerate(xs[:-1][::-1]):
+        x = ConvModule(deep.shape[-1], self.channels, 1, bias=False,
+                       norm_cfg=norm_cfg, act_cfg=act_cfg,
+                       name='aspp_conv')(deep, train=train)
+        # SPATIAL image-pool gate: AvgPool2d(49, stride=(16, 20)) + 1x1 +
+        # sigmoid, bilinearly resized back (reference lraspp_head.py:60-79).
+        # Kernel is clamped to the feature size so small inputs stay legal
+        # (the reference simply errors below 49px at 1/16 scale).
+        H, W = deep.shape[-3], deep.shape[-2]
+        pooled = avg_pool2d(deep, (min(49, H), min(49, W)), (16, 20), 0)
+        gate = ConvModule(deep.shape[-1], self.channels, 1, bias=False,
+                          norm_cfg=None, act_cfg=dict(type='Sigmoid'),
+                          name='image_pool')(pooled, train=train)
+        x = x * resize_bilinear(gate, x.shape[-3:-1], self.align_corners)
+        # plain 1x1 conv with bias (reference conv_up_input)
+        x = nn.Conv(self.channels, (1, 1), name='conv_up_input')(x)
+        for bi in range(len(self.branch_channels) - 1, -1, -1):
+            mid = xs[bi]
             x = resize_bilinear(x, mid.shape[-3:-1], self.align_corners)
-            proj = ConvModule(mid.shape[-1],
-                              self.branch_channels[len(xs) - 2 - i], 1,
-                              norm_cfg=norm_cfg, act_cfg=None,
-                              name=f'convs{len(xs) - 2 - i}')(mid, train=train)
+            # branch convs are plain bias-free 1x1 convs, NO norm
+            # (reference lraspp_head.py:36-40)
+            proj = nn.Conv(self.branch_channels[bi], (1, 1), use_bias=False,
+                           name=f'convs{bi}')(mid)
             x = jnp.concatenate([x, proj], axis=-1)
-            x = ConvModule(x.shape[-1], self.channels, 1, norm_cfg=norm_cfg,
-                           act_cfg=dict(type='ReLU'),
-                           name=f'conv_up{i}')(x, train=train)
+            x = ConvModule(x.shape[-1], self.channels, 1, bias=False,
+                           norm_cfg=norm_cfg, act_cfg=act_cfg,
+                           name=f'conv_up{bi}')(x, train=train)
         return ClsSeg(self.channels, self.num_out_channels,
                       self.dropout_ratio, name='cls')(x, train=train)
 
