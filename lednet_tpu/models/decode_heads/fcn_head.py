@@ -63,9 +63,10 @@ class FCNHead(nn.Module):
                                dilation=self.dilation, norm_cfg=norm_cfg,
                                act_cfg=act_cfg, name=f'conv{i}')(feats, train=train)
         if self.num_convs == 0:
+            # reference asserts in_channels == channels here (fcn_head.py:35)
             feats = x
-        if self.concat_input and self.num_convs > 0:
-            feats = ConvModule(in_ch + self.channels, self.channels,
+        if self.concat_input:
+            feats = ConvModule(in_ch + feats.shape[-1], self.channels,
                                self.kernel_size, padding=self.kernel_size // 2,
                                norm_cfg=norm_cfg, act_cfg=act_cfg,
                                name='conv_cat')(
