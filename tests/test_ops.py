@@ -69,3 +69,38 @@ def test_adaptive_avg_pool_matches_torch(rng, out_size):
     ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), out_size))
     ref = to_nhwc(F.adaptive_avg_pool2d(nchw(x), out_size))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('in_size,out_size,align',
+                         [((14, 14), (32, 32), False),
+                          ((7, 9), (20, 5), False),
+                          ((16, 16), (9, 9), False),
+                          ((14, 14), (32, 32), True)])
+def test_resize_bicubic_matches_torch(rng, in_size, out_size, align):
+    import torch
+    import torch.nn.functional as F
+    from lednet_tpu.ops.resize import resize_bicubic
+    x = rng.standard_normal((2,) + in_size + (3,)).astype(np.float32)
+    out_j = np.asarray(resize_bicubic(jnp.asarray(x), out_size, align))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    out_t = F.interpolate(xt, size=out_size, mode='bicubic',
+                          align_corners=align)
+    np.testing.assert_allclose(out_j, out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('h,w,k,s,p,cip',
+                         [(7, 7, 2, 2, 0, False), (9, 11, 3, 2, 1, True),
+                          (10, 7, 3, 2, 1, False), (5, 5, 5, 3, 2, True)])
+def test_avg_pool_ceil_mode_matches_torch(rng, h, w, k, s, p, cip):
+    import torch.nn.functional as F
+    import torch
+    from lednet_tpu.ops.pool import avg_pool2d
+    x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+    out_j = np.asarray(avg_pool2d(jnp.asarray(x), k, s, p,
+                                  count_include_pad=cip, ceil_mode=True))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    out_t = F.avg_pool2d(xt, k, s, p, ceil_mode=True, count_include_pad=cip)
+    tt = out_t.numpy().transpose(0, 2, 3, 1)
+    assert out_j.shape == tt.shape
+    np.testing.assert_allclose(out_j, tt, atol=1e-6, rtol=1e-6)
