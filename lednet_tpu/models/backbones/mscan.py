@@ -117,6 +117,7 @@ class MSCAN(nn.Module):
                               drop_path=dpr[done],
                               name=f's{i}_b{j}')(x, train=train)
                 done += 1
-            x = nn.LayerNorm(name=f'stage_norm{i}')(x)
+            # reference mscan.py:424 uses plain nn.LayerNorm (torch eps=1e-5)
+            x = nn.LayerNorm(epsilon=1e-5, name=f'stage_norm{i}')(x)
             outs.append(x)
         return tuple(outs[i] for i in self.out_indices)
