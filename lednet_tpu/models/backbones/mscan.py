@@ -99,14 +99,16 @@ class MSCAN(nn.Module):
         done = 0
         for i, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             if i == 0:
-                # stem: two 3x3 s2 convs
+                # stem: two 3x3 s2 convs; the reference uses plain
+                # nn.Conv2d (bias=True) before each BN (mscan.py:85-105),
+                # so keep the bias for 1:1 checkpoint transplants
                 x = ConvModule(self.in_channels, dim // 2, 3, stride=2,
-                               padding=1, norm_cfg=dict(type='BN'),
+                               padding=1, bias=True, norm_cfg=dict(type='BN'),
                                act_cfg=dict(type='GELU'),
                                name='stem1')(x, train=train)
                 x = ConvModule(dim // 2, dim, 3, stride=2, padding=1,
-                               norm_cfg=dict(type='BN'), act_cfg=None,
-                               name='stem2')(x, train=train)
+                               bias=True, norm_cfg=dict(type='BN'),
+                               act_cfg=None, name='stem2')(x, train=train)
             else:
                 x = nn.Conv(dim, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)), kernel_init=kaiming_init,
