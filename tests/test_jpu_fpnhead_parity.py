@@ -149,5 +149,6 @@ def test_vpd_depth_decoder_deconv_matches_torch(rng):
     sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..',
                                 'tools', 'model_converters'))
     from mmseg2jax import convert_tensor
-    back = convert_tensor('decoder.deconv_layers.0.weight', t.weight)
+    back = convert_tensor('decoder.deconv_layers.0.weight',
+                          t.weight.detach().numpy())
     np.testing.assert_allclose(back, k, atol=1e-7)

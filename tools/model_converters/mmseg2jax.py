@@ -53,9 +53,10 @@ def _role(last: str) -> str:
 
 def _canon(tokens) -> str:
     """Canonical unit name: lowercase alphanumerics only, with this
-    framework's structural wrapper tokens dropped so e.g. torch
-    ``backbone.stem.0.bn`` and jax ``backbone/stem_0/norm/bn`` compare
-    equal."""
+    framework's structural wrapper tokens dropped and separators erased so
+    e.g. torch ``backbone.stem.0.bn`` and jax ``backbone/stem_0/norm/bn``
+    compare equal (``stem.0`` vs ``stem_0`` differ only in token
+    boundaries; signature equality guards against merge collisions)."""
     out = []
     for t in tokens:
         t = re.sub(r'[^0-9a-z]+', '', str(t).lower())
@@ -63,7 +64,7 @@ def _canon(tokens) -> str:
             continue
         if t:
             out.append(t)
-    return '/'.join(out)
+    return ''.join(out)
 
 
 def _natkey(s: str):
@@ -160,7 +161,7 @@ def match_units(torch_units, jax_units, verbose=False):
                             for r, (p, s, _) in unit.items()))
 
     t_keys = sorted(torch_units, key=_natkey)
-    j_keys = sorted(jax_units, key=_natkey)
+    j_keys = sorted(jax_units, key=lambda t: _natkey('/'.join(t)))
 
     # pass 1: exact canonical-name + signature match
     t_by_canon = defaultdict(list)
@@ -174,6 +175,10 @@ def match_units(torch_units, jax_units, verbose=False):
                  if tk not in used_t and
                  t_sig(torch_units[tk]) == j_sig(jax_units[jk])]
         if cands:
+            if len(cands) > 1:
+                print(f"  WARNING: canonical name {canon!r} is ambiguous "
+                      f"({len(cands)} torch candidates); picking "
+                      f"{cands[0]!r} (natural order)")
             pairs.append((jk, cands[0]))
             used_t.add(cands[0])
         else:
