@@ -14,6 +14,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
+from lednet_tpu.datasets import metainfo as _metainfo
 from lednet_tpu.registry import DATASETS, TRANSFORMS
 
 
@@ -189,8 +190,8 @@ class CityscapesDataset(BaseSegDataset):
 class ADE20KDataset(BaseSegDataset):
     """ADE20K (150 classes, reduce_zero_label)."""
     METAINFO = dict(
-        classes=tuple(f'class_{i}' for i in range(150)),
-        palette=[[i, i, i] for i in range(150)])
+        classes=_metainfo.ADE20K_CLASSES,
+        palette=_metainfo.ADE20K_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png',
                  reduce_zero_label=True, **kwargs):

@@ -6,16 +6,13 @@ import os.path as osp
 
 from lednet_tpu.datasets.basesegdataset import BaseSegDataset
 from lednet_tpu.registry import DATASETS
-
-
-def _gray_palette(n):
-    return [[i, i, i] for i in range(n)]
+from lednet_tpu.datasets import metainfo as _mi
 
 
 @DATASETS.register_module()
 class COCOStuffDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(171)),
-                    palette=_gray_palette(171))
+    METAINFO = dict(classes=_mi.COCOSTUFF_CLASSES,
+                    palette=_mi.COCOSTUFF_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='_labelTrainIds.png',
                  **kwargs):
@@ -25,8 +22,8 @@ class COCOStuffDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class PascalContextDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(60)),
-                    palette=_gray_palette(60))
+    METAINFO = dict(classes=_mi.PASCAL_CONTEXT_CLASSES,
+                    palette=_mi.PASCAL_CONTEXT_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -73,8 +70,8 @@ class ISPRSDataset(PotsdamDataset):
 
 @DATASETS.register_module()
 class iSAIDDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(16)),
-                    palette=_gray_palette(16))
+    METAINFO = dict(classes=_mi.ISAID_CLASSES,
+                    palette=_mi.ISAID_PALETTE)
 
     def __init__(self, img_suffix='.png',
                  seg_map_suffix='_instance_color_RGB.png', **kwargs):
@@ -84,8 +81,8 @@ class iSAIDDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class MapillaryDataset_v1(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(66)),
-                    palette=_gray_palette(66))
+    METAINFO = dict(classes=_mi.MAPILLARY_V1_CLASSES,
+                    palette=_mi.MAPILLARY_V1_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -94,8 +91,8 @@ class MapillaryDataset_v1(BaseSegDataset):
 
 @DATASETS.register_module()
 class BDD100KDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
-                    palette=_gray_palette(19))
+    METAINFO = dict(classes=_mi.CITYSCAPES_CLASSES,
+                    palette=_mi.CITYSCAPES_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -104,8 +101,8 @@ class BDD100KDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class LIPDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(20)),
-                    palette=_gray_palette(20))
+    METAINFO = dict(classes=_mi.LIP_CLASSES,
+                    palette=_mi.LIP_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -114,8 +111,8 @@ class LIPDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class DarkZurichDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
-                    palette=_gray_palette(19))
+    METAINFO = dict(classes=_mi.CITYSCAPES_CLASSES,
+                    palette=_mi.CITYSCAPES_PALETTE)
 
     def __init__(self, img_suffix='_rgb_anon.png',
                  seg_map_suffix='_gt_labelTrainIds.png', **kwargs):
@@ -125,8 +122,8 @@ class DarkZurichDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class NightDrivingDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(19)),
-                    palette=_gray_palette(19))
+    METAINFO = dict(classes=_mi.CITYSCAPES_CLASSES,
+                    palette=_mi.CITYSCAPES_PALETTE)
 
     def __init__(self, img_suffix='_leftImg8bit.png',
                  seg_map_suffix='_gtCoarse_labelTrainIds.png', **kwargs):
@@ -173,8 +170,8 @@ class HRFDataset(_RetinaDataset):
 
 @DATASETS.register_module()
 class SynapseDataset(BaseSegDataset):
-    METAINFO = dict(classes=tuple(f'organ_{i}' for i in range(9)),
-                    palette=_gray_palette(9))
+    METAINFO = dict(classes=_mi.SYNAPSE_CLASSES,
+                    palette=_mi.SYNAPSE_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -183,8 +180,8 @@ class SynapseDataset(BaseSegDataset):
 
 @DATASETS.register_module()
 class REFUGEDataset(BaseSegDataset):
-    METAINFO = dict(classes=('background', 'disc', 'cup'),
-                    palette=_gray_palette(3))
+    METAINFO = dict(classes=_mi.REFUGE_CLASSES,
+                    palette=_mi.REFUGE_PALETTE)
 
     def __init__(self, img_suffix='.png', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
@@ -338,8 +335,8 @@ class MultiImageMixDataset:
 class PascalContextDataset59(BaseSegDataset):
     """59-class PascalContext (reference ``pascal_context.py:64``):
     ``reduce_zero_label`` fixed True (class 0 = background dropped)."""
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(59)),
-                    palette=_gray_palette(59))
+    METAINFO = dict(classes=_mi.PASCAL_CONTEXT_59_CLASSES,
+                    palette=_mi.PASCAL_CONTEXT_59_PALETTE)
 
     def __init__(self, ann_file='', img_suffix='.jpg', seg_map_suffix='.png',
                  reduce_zero_label=True, **kwargs):
@@ -351,8 +348,8 @@ class PascalContextDataset59(BaseSegDataset):
 @DATASETS.register_module()
 class MapillaryDataset_v2(BaseSegDataset):
     """Mapillary Vistas v2.0, 124 classes (reference ``mapillary.py:69``)."""
-    METAINFO = dict(classes=tuple(f'class_{i}' for i in range(124)),
-                    palette=_gray_palette(124))
+    METAINFO = dict(classes=_mi.MAPILLARY_V2_CLASSES,
+                    palette=_mi.MAPILLARY_V2_PALETTE)
 
     def __init__(self, img_suffix='.jpg', seg_map_suffix='.png', **kwargs):
         super().__init__(img_suffix=img_suffix, seg_map_suffix=seg_map_suffix,
