@@ -78,7 +78,16 @@ class DepthMetric:
 
 @METRICS.register_module()
 class CityscapesMetric(IoUMetric):
-    """IoU scoring + official submission-format label-ID PNG dumping."""
+    """Official-semantics Cityscapes scoring + submission-format PNG dumping.
+
+    The reference (``citys_metric.py:11-158``) writes labelId PNGs and shells
+    out to cityscapesscripts' ``evaluateImgLists``; we write the same files
+    and score with a native implementation of the official math
+    (:mod:`lednet_tpu.evaluation.cityscapes_eval`): per-class/per-category
+    IoU in labelId space where false positives on ignored-GT pixels are NOT
+    counted — a generic trainId IoU differs whenever the model predicts an
+    eval class over void/ignored ground truth.
+    """
 
     def __init__(self, output_dir: Optional[str] = None,
                  to_label_id: bool = True, format_only: bool = False,
@@ -88,24 +97,52 @@ class CityscapesMetric(IoUMetric):
         self.to_label_id = to_label_id
         self.keep_results = keep_results
         self._dump_idx = 0
+        self._conf = None
+
+    def reset(self):
+        super().reset()
+        self._conf = None
 
     def process(self, pred, label, num_classes: int):
+        from lednet_tpu.evaluation import cityscapes_eval as cse
+        pred_np = np.asarray(pred)
+        if pred_np.ndim == 2:
+            pred_np = pred_np[None]
         if self.output_dir:
             os.makedirs(self.output_dir, exist_ok=True)
             import cv2
-            arr = np.asarray(pred[0] if np.asarray(pred).ndim == 3 else pred,
-                             np.uint8)
-            if self.to_label_id:
-                arr = TRAINID_TO_LABELID[np.clip(arr, 0,
-                                                 len(TRAINID_TO_LABELID) - 1)]
-            cv2.imwrite(osp.join(self.output_dir,
-                                 f'pred_{self._dump_idx:06d}.png'), arr)
-            self._dump_idx += 1
+            for plane in pred_np:
+                arr = plane.astype(np.uint8)
+                if self.to_label_id:
+                    arr = cse.TRAINID_TO_LABELID[arr]
+                cv2.imwrite(osp.join(self.output_dir,
+                                     f'pred_{self._dump_idx:06d}.png'), arr)
+                self._dump_idx += 1
         if not self.format_only:
-            # suppress the base class's raw-trainId dump (ours wrote the
-            # official labelId files above)
+            # official scoring happens in labelId space; the 19-class
+            # trainId->labelId conversion applies to predictions AND labels
+            # (ignored train labels land on labelId 0 = unlabeled)
+            if num_classes == 19:
+                pred_ids = cse.TRAINID_TO_LABELID[pred_np.astype(np.uint8)]
+                gt_ids = cse.TRAINID_TO_LABELID[
+                    np.asarray(label).astype(np.uint8)]
+                conf = cse.confusion(pred_ids, gt_ids)
+                self._conf = conf if self._conf is None else self._conf + conf
+            # keep the per-class trainId IoU table too (superset of the
+            # reference's output); suppress the base class's raw dump
             out_dir, self.output_dir = self.output_dir, None
             try:
                 super().process(pred, label, num_classes)
             finally:
                 self.output_dir = out_dir
+
+    def compute_metrics(self) -> Dict[str, float]:
+        results = {} if self.format_only else super().compute_metrics()
+        if self._conf is not None:
+            from lednet_tpu.evaluation import cityscapes_eval as cse
+            official = cse.scores_from_confusion(self._conf)
+            results['averageScoreClasses'] = round(
+                100 * official['averageScoreClasses'], 2)
+            results['averageScoreCategories'] = round(
+                100 * official['averageScoreCategories'], 2)
+        return results
