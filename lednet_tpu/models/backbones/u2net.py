@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lednet_tpu.models.layers import kaiming_init
+from lednet_tpu.models.layers import BatchNorm, kaiming_init
 from lednet_tpu.ops.resize import resize_bilinear
 from lednet_tpu.registry import MODELS
 
@@ -36,8 +36,8 @@ class REBNCONV(nn.Module):
         x = nn.Conv(self.out_channels, (3, 3), padding=((d, d), (d, d)),
                     kernel_dilation=(d, d), use_bias=True,
                     kernel_init=kaiming_init, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name='bn')(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      name='bn')(x)
         return nn.relu(x)
 
 

@@ -74,6 +74,56 @@ def build_activation(act_cfg: Optional[Dict], channels: Optional[int] = None,
     raise ValueError(f'Unsupported activation: {act_type}')
 
 
+class BatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    Differs from ``flax.linen.BatchNorm`` in one way that matters for
+    training parity with the reference (torch ``nn.BatchNorm2d``): torch
+    normalizes with the *biased* batch variance but updates ``running_var``
+    with the *unbiased* one (Bessel ``n/(n-1)`` correction); flax updates
+    with the biased variance. The divergence is invisible at train time but
+    shifts every eval-mode forward after training — exactly the silent-drift
+    class the lockstep parity test (``tests/test_train_parity.py``) pins.
+
+    Variable tree matches flax ``nn.BatchNorm`` (params ``scale``/``bias``,
+    batch_stats ``mean``/``var``) so checkpoints and the mmseg2jax converter
+    are unaffected. Under pjit/GSPMD a batch-sharded ``jnp.mean`` is a
+    cross-replica mean, so SyncBN semantics fall out of the sharding; the
+    Bessel count uses the *global* (logical) element count, matching
+    torch SyncBN's all-reduced count.
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9  # flax convention: new = m*old + (1-m)*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        shape = (x.shape[-1],)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(shape, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(shape, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, shape, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, shape, jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            # two-pass variance: exact match of torch's E[(x-mean)^2]
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = x.size // x.shape[-1]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 class Norm2d(nn.Module):
     """Normalization layer selected by mmseg-style ``norm_cfg``.
 
@@ -89,7 +139,7 @@ class Norm2d(nn.Module):
         norm_type = cfg.get('type', 'BN')
         if norm_type in ('BN', 'SyncBN', 'BN2d'):
             mom = cfg.get('momentum', 0.1)
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - mom,
                 epsilon=cfg.get('eps', 1e-5),
