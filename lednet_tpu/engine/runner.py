@@ -171,20 +171,47 @@ class Runner:
         metric = METRICS.build(metric_cfg)
         metric.class_names = metainfo.get('classes')
 
-        eval_step = make_eval_step(self.model, self.preprocessor,
-                                   mode=self.test_mode)
+        # one jitted program per (mode): cached across val() calls; arbitrary
+        # val-image sizes pad to a BUCKET (next multiple of eval_pad_multiple,
+        # SURVEY §7.4.6) so a heterogeneous val set compiles O(#buckets)
+        # programs instead of one per distinct shape
+        if not hasattr(self, '_eval_steps'):
+            self._eval_steps = {}
+        eval_step = self._eval_steps.get(self.test_mode)
+        if eval_step is None:
+            eval_step = make_eval_step(self.model, self.preprocessor,
+                                       mode=self.test_mode)
+            self._eval_steps[self.test_mode] = eval_step
+        bucket = int(cfg.get('eval_pad_multiple', 128))
+        # multi-chip eval: shard image rows over the mesh (GSPMD halo
+        # exchanges make it numerically the single-device forward)
+        spatial_shard = bool(cfg.get('val_spatial_shard')) and \
+            self.n_devices > 1 and self.test_mode == 'whole'
         head_cfg = (self.cfg.model.get('decode_head') or {})
         out_channels = head_cfg.get('out_channels')
         threshold = head_cfg.get('threshold', 0.3) or 0.3
 
         def predict_one(inputs, meta, flip=False, flip_direction='horizontal'):
             """Jitted forward + postprocess to the original image frame."""
-            pad_h = (-inputs.shape[1]) % 32
-            pad_w = (-inputs.shape[2]) % 32
-            if pad_h or pad_w:
-                inputs = jnp.pad(inputs,
-                                 ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            logits = eval_step(self.state, inputs)
+            pad_h = (-inputs.shape[1]) % bucket
+            pad_w = (-inputs.shape[2]) % bucket
+            if spatial_shard:
+                from lednet_tpu.parallel.sharded_inference import \
+                    sharded_predict
+                from lednet_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(axis_name='spatial')
+                logits = sharded_predict(
+                    self.model,
+                    {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats},
+                    inputs, mesh=mesh, preprocessor=self.preprocessor,
+                    multiple=bucket)
+                pad_h = pad_w = 0  # sharded_predict returns unpadded logits
+            else:
+                if pad_h or pad_w:
+                    inputs = jnp.pad(inputs,
+                                     ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+                logits = eval_step(self.state, inputs)
             extra_h = logits.shape[1] - (inputs.shape[1] - pad_h)
             extra_w = logits.shape[2] - (inputs.shape[2] - pad_w)
             return postprocess_logits(
