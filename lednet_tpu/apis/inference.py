@@ -69,29 +69,61 @@ def _prepare_data(imgs, cfg):
     return data, is_batch
 
 
-def inference_model(runner: Runner, img) -> Union[dict, Sequence[dict]]:
+def _cached_eval_step(runner: Runner):
+    """One jitted predict program per runner (rebuilding ``make_eval_step``
+    per call would create a fresh jit cache and recompile every frame)."""
+    step = getattr(runner, '_eval_step_cache', None)
+    if step is None:
+        step = make_eval_step(runner.model, runner.preprocessor,
+                              mode=runner.test_mode)
+        runner._eval_step_cache = step
+        runner._forward_calls = 0
+    return step
+
+
+def inference_model(runner: Runner, img,
+                    batch_size: int = 1) -> Union[dict, Sequence[dict]]:
     """Run whole-image inference; returns dict(s) with ``pred_sem_seg`` /
-    ``seg_logits`` / ``metainfo`` (SegDataSample-lite)."""
+    ``seg_logits`` / ``metainfo`` (SegDataSample-lite).
+
+    ``batch_size > 1`` groups same-shape inputs and runs ONE jitted forward
+    per group-chunk (the reference inferencer batches its preprocess/forward,
+    ``mmseg/apis/mmseg_inferencer.py:27``; on TPU batching also amortizes the
+    per-dispatch host round-trip).
+    """
     data, is_batch = _prepare_data(img, runner.cfg)
-    eval_step = make_eval_step(runner.model, runner.preprocessor,
-                               mode=runner.test_mode)
-    results = []
-    for item in data:
-        inputs = jnp.asarray(item['inputs'])[None]
-        pad_h = (-inputs.shape[1]) % 32
-        pad_w = (-inputs.shape[2]) % 32
+    eval_step = _cached_eval_step(runner)
+
+    # group indices by padded shape so each group stacks into one batch
+    groups: dict = {}
+    padded = []
+    for idx, item in enumerate(data):
+        arr = np.asarray(item['inputs'])
+        pad_h = (-arr.shape[0]) % 32
+        pad_w = (-arr.shape[1]) % 32
         if pad_h or pad_w:
-            inputs = jnp.pad(inputs, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        logits = eval_step(runner.state, inputs)
-        meta = item['metainfo']
-        extra_h = logits.shape[1] - (inputs.shape[1] - pad_h)
-        extra_w = logits.shape[2] - (inputs.shape[2] - pad_w)
-        seg_logits, pred = postprocess_logits(
-            logits, (extra_h, extra_w),
-            ori_shape=tuple(meta.get('ori_shape') or ()) or None)
-        results.append(dict(pred_sem_seg=np.asarray(pred[0]),
-                            seg_logits=np.asarray(seg_logits[0]),
-                            metainfo=meta))
+            arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)))
+        padded.append((arr, pad_h, pad_w))
+        groups.setdefault(arr.shape, []).append(idx)
+
+    results: list = [None] * len(data)
+    for shape, indices in groups.items():
+        for c in range(0, len(indices), max(batch_size, 1)):
+            chunk = indices[c:c + max(batch_size, 1)]
+            inputs = jnp.asarray(np.stack([padded[i][0] for i in chunk]))
+            logits = eval_step(runner.state, inputs)
+            runner._forward_calls = getattr(runner, '_forward_calls', 0) + 1
+            for j, i in enumerate(chunk):
+                meta = data[i]['metainfo']
+                pad_h, pad_w = padded[i][1], padded[i][2]
+                extra_h = logits.shape[1] - (inputs.shape[1] - pad_h)
+                extra_w = logits.shape[2] - (inputs.shape[2] - pad_w)
+                seg_logits, pred = postprocess_logits(
+                    logits[j:j + 1], (extra_h, extra_w),
+                    ori_shape=tuple(meta.get('ori_shape') or ()) or None)
+                results[i] = dict(pred_sem_seg=np.asarray(pred[0]),
+                                  seg_logits=np.asarray(seg_logits[0]),
+                                  metainfo=meta)
     return results if is_batch else results[0]
 
 

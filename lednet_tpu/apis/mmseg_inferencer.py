@@ -40,10 +40,14 @@ class MMSegInferencer:
                  opacity: float = 0.8, with_labels: bool = True, **kwargs):
         single = not isinstance(inputs, (list, tuple))
         imgs = [inputs] if single else list(inputs)
+        # batched preprocess->forward (reference batches too,
+        # ``mmseg_inferencer.py:27``): same-shape inputs share one jitted
+        # forward per batch_size chunk
+        results = inference_model(self.runner, imgs,
+                                  batch_size=max(int(batch_size), 1))
         predictions: List[np.ndarray] = []
         visualizations: List[np.ndarray] = []
-        for i, img in enumerate(imgs):
-            result = inference_model(self.runner, img)
+        for i, (img, result) in enumerate(zip(imgs, results)):
             pred = np.asarray(result['pred_sem_seg'])
             predictions.append(pred)
             need_vis = return_vis or bool(out_dir) or show

@@ -112,3 +112,33 @@ def test_projects_extension_contract(tmp_path):
         repo, 'projects/example_project/configs/dummy_resnet_fcn.py'))
     model = MODELS.build(dict(cfg.model))
     assert model is not None
+
+
+def test_inferencer_batched_matches_bs1(tiny_cfg, tmp_path, rng):
+    """VERDICT #8: MMSegInferencer honors batch_size — identical outputs at
+    bs=1 vs bs=4, with fewer jitted forward calls (reference batches its
+    preprocess->forward, ``mmseg/apis/mmseg_inferencer.py:27``)."""
+    from lednet_tpu.apis.mmseg_inferencer import MMSegInferencer
+    imgs = [rng.integers(0, 255, (32, 48, 3), np.uint8) for _ in range(6)]
+
+    inf = MMSegInferencer(tiny_cfg)
+    inf.runner._forward_calls = 0
+    out1 = inf(imgs, batch_size=1)
+    calls_bs1 = inf.runner._forward_calls
+
+    inf.runner._forward_calls = 0
+    out4 = inf(imgs, batch_size=4)
+    calls_bs4 = inf.runner._forward_calls
+
+    assert calls_bs1 == 6 and calls_bs4 == 2  # 4 + 2
+    for a, b in zip(out1['predictions'], out4['predictions']):
+        np.testing.assert_array_equal(a, b)
+
+    # mixed shapes group separately but still batch within a group
+    imgs_mixed = imgs[:3] + [rng.integers(0, 255, (48, 64, 3), np.uint8)
+                             for _ in range(3)]
+    inf.runner._forward_calls = 0
+    outm = inf(imgs_mixed, batch_size=4)
+    assert inf.runner._forward_calls == 2  # one per shape group
+    assert outm['predictions'][0].shape == (32, 48)
+    assert outm['predictions'][5].shape == (48, 64)
