@@ -52,11 +52,14 @@ class LEDNet(nn.Module):
     # param/FLOP budget be tuned toward the paper's 1.661M / 9.2G without
     # changing the module inventory)
     # defaults reproduce the paper's complexity: with the LEDHead (19-class
-    # cityscapes config) get_flops measures 1.728M params / 10.09 G-MACs
-    # @1280x720 (paper Table 8: 1.661M / 9.206G via thop, which skips the
-    # BN/resize/attention ops included in the XLA count). mlp_ratio=4.0
-    # gives a heavier variant; stem_blocks=1 a slimmer one.
+    # cityscapes config) get_flops measures 1.654M params / 9.07 G-MACs
+    # @1280x720 (paper Table 8: 1.661M / 9.206G via thop). stem_blocks
+    # counts the c-wide 1/4-resolution blocks; stem_blocks_c2 the 2c-wide
+    # 1/8-resolution blocks after the stem downsample (DDRNet uses 2+2; the
+    # paper's budget implies LED-Net dropped the post-downsample repeats).
+    # mlp_ratio=4.0 gives a heavier GETB variant.
     stem_blocks: int = 2
+    stem_blocks_c2: int = 0
     mlp_ratio: float = 2.0
     init_cfg: Optional[Dict] = None
 
@@ -80,11 +83,12 @@ class LEDNet(nn.Module):
                            name=f'stem_block{i + 1}')(h, train=train)
         h = nn.relu(h)
         h = BasicBlock(c, 2 * c, stride=2, downsample=True, norm_cfg=norm_cfg,
-                       act_out=(self.stem_blocks > 1),
+                       act_out=(self.stem_blocks_c2 > 0),
                        name='stem_block3')(h, train=train)
-        for i in range(1, self.stem_blocks):
-            h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg, act_out=False,
-                           name=f'stem_block{3 + i}')(h, train=train)
+        for i in range(self.stem_blocks_c2):
+            h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg,
+                           act_out=(i < self.stem_blocks_c2 - 1),
+                           name=f'stem_block{4 + i}')(h, train=train)
         stem = nn.relu(h)                                           # 2c @ 1/8
 
         # ---- SEAM edge-attention map from the stem feature ---------------
