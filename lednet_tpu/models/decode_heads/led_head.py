@@ -153,12 +153,11 @@ class LEDHead(nn.Module):
         if size is None:
             # fork sizing: output = 2 * head_x1 spatial size
             size = (head_x1.shape[-3] * 2, head_x1.shape[-2] * 2)
-        import jax
-        if jax.default_backend() == 'tpu':
-            # fused MXU pyramid kernel (exact; ~1.6x the gather path)
-            from lednet_tpu.ops.pallas.upsample import pallas_pyramid
-            return pallas_pyramid(x_c, head_x1, head_x2, size,
-                                  self.align_corners)
+        # single gather-based path everywhere: a Pallas MXU pyramid kernel
+        # was A/B'd on-chip (v5e, 720p bs=1, best-of-3 separate processes:
+        # 2488 img/s pallas vs 2690 gather; micro-bench 428 vs 419 us/op)
+        # and tied-to-lost while diverging up to 0.19 in bf16 logits, so it
+        # was removed — XLA's fused gather resize wins on this hardware.
         return self._refine(x_c, head_x1, head_x2, size)
 
 

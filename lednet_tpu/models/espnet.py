@@ -121,12 +121,6 @@ class SESP(nn.Module):
     spaspp: bool = False
     sespv2: bool = True
     fuse_branches: bool = False
-    # fused pallas pyramid (ops/pallas/sesp.py): numerically equal and
-    # 1.2-2.5x faster per-op, but e2e MEASURED SLOWER on v5e (1882 vs 2233
-    # FPS @720p) — the NCHW transposes around each call and the broken XLA
-    # fusion chains cost more than the saved launches. Kept as a documented
-    # experiment, off by default (same verdict as fuse_branches).
-    use_pallas: bool = False
 
     def _fused_dw(self, x, kernels, rates, stride, extra_dil=0):
         """One depthwise conv over k-tiled channels; returns list of branch
@@ -188,39 +182,26 @@ class SESP(nn.Module):
             v2s = [self.param(f'spp_dw_v2_{i}', kaiming_init, (3, 3, 1, n),
                               jnp.float32) for i in range(self.k)] \
                 if self.sespv2 else None
-            # fused pallas pyramid: inference-only (no custom vjp), stride 1,
-            # and planes big enough that grid-step overhead amortizes
-            h, w = reduced.shape[-3], reduced.shape[-2]
-            if (self.use_pallas and not train and self.stride == 1
-                    and self.sespv2 and h * w >= 3000
-                    and jax.default_backend() == 'tpu'):
-                from lednet_tpu.ops.pallas.sesp import sesp_pyramid
-                merged_pyr = sesp_pyramid(
-                    reduced, jnp.stack([kk[:, :, 0, :] for kk in kerns]),
-                    jnp.stack([kk[:, :, 0, :] for kk in v2s]), tuple(rates))
-                branches = [merged_pyr[..., i * n:(i + 1) * n]
-                            for i in range(self.k)]
-            else:
-                # reference-shaped path: one conv per branch
-                branches = []
-                for i, d in enumerate(rates):
-                    b = jax.lax.conv_general_dilated(
-                        reduced, kerns[i].astype(reduced.dtype),
-                        (self.stride, self.stride), ((d, d), (d, d)),
-                        rhs_dilation=(d, d),
-                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                        feature_group_count=n)
-                    if branches:
-                        b = b + branches[-1]
-                    branches.append(b)
-                if self.sespv2:
-                    branches = [jax.lax.conv_general_dilated(
-                        b, v2s[i].astype(b.dtype), (1, 1),
-                        ((d + 1, d + 1), (d + 1, d + 1)),
-                        rhs_dilation=(d + 1, d + 1),
-                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                        feature_group_count=n)
-                        for i, (b, d) in enumerate(zip(branches, rates))]
+            # reference-shaped path: one conv per branch
+            branches = []
+            for i, d in enumerate(rates):
+                b = jax.lax.conv_general_dilated(
+                    reduced, kerns[i].astype(reduced.dtype),
+                    (self.stride, self.stride), ((d, d), (d, d)),
+                    rhs_dilation=(d, d),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=n)
+                if branches:
+                    b = b + branches[-1]
+                branches.append(b)
+            if self.sespv2:
+                branches = [jax.lax.conv_general_dilated(
+                    b, v2s[i].astype(b.dtype), (1, 1),
+                    ((d + 1, d + 1), (d + 1, d + 1)),
+                    rhs_dilation=(d + 1, d + 1),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=n)
+                    for i, (b, d) in enumerate(zip(branches, rates))]
 
         merged = jnp.concatenate(branches, axis=-1)
         merged = Norm2d(dict(type='BN'), name='br_after_cat_norm')(merged, train=train)
