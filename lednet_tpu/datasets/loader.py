@@ -189,3 +189,50 @@ def build_dataloader(cfg: Dict, rank: int = 0, world_size: int = 1,
     return DataLoader(dataset, batch_size=batch_size, num_workers=num_workers,
                       sampler=sampler, infinite=infinite,
                       drop_last=cfg.get('drop_last', False))
+
+
+def prefetch_to_device(iterator: Iterator[Dict], mesh, depth: int = 2,
+                       axis_name: str = 'data') -> Iterator[Dict]:
+    """Overlap host->device transfer with device compute.
+
+    The train loop's ``shard_batch(jnp.asarray(batch))`` is a synchronous
+    H2D copy on the main thread: while it runs, the previously dispatched
+    train step is the only thing keeping the chip busy, and for fast steps
+    the copy becomes the bubble. This wraps a host-batch iterator in a
+    background thread that device-puts up to ``depth`` batches ahead with
+    the batch axis sharded over ``mesh`` (same placement as
+    ``parallel.mesh.shard_batch``), the standard JAX input-pipeline
+    pattern (cf. flax's ``jax_utils.prefetch_to_device``) generalized to a
+    GSPMD sharding instead of pmap's leading device axis.
+
+    Yields pytrees of committed device arrays in the iterator's order;
+    re-raises loader/transfer errors on the consumer thread.
+    """
+    import jax
+    from lednet_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh, axis_name)
+    out_q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, depth))
+    SENTINEL = object()
+
+    def produce():
+        try:
+            for batch in iterator:
+                dev = {k: jax.device_put(np.asarray(v), sharding)
+                       for k, v in batch.items()
+                       if isinstance(v, np.ndarray)}
+                rest = {k: v for k, v in batch.items() if k not in dev}
+                out_q.put({**dev, **rest})
+        except BaseException as e:
+            out_q.put(e)
+        finally:
+            out_q.put(SENTINEL)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = out_q.get()
+        if item is SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

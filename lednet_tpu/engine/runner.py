@@ -113,6 +113,14 @@ class Runner:
                 self.state, meta = load_checkpoint(latest, self.state)
                 print(f'resumed from {latest} (iter {meta.get("iter")})')
 
+        # overlap H2D with compute: a background thread device-puts up to
+        # `device_prefetch` batches ahead (sharded over the mesh), so the
+        # main thread never blocks on the copy (loader.prefetch_to_device)
+        from lednet_tpu.datasets.loader import prefetch_to_device
+        depth = int(cfg.get('device_prefetch', 2))
+        if depth > 0:
+            data_iter = prefetch_to_device(data_iter, self.mesh, depth=depth)
+
         start = int(jax.device_get(self.state.step))
         t_last = time.time()
         for it in range(start, max_iters):
@@ -128,6 +136,8 @@ class Runner:
                 return self.state
             if it > start:
                 batch = next(data_iter)
+            # prefetched batches are already committed device arrays with
+            # the right sharding; device_put is then a no-op passthrough
             inputs = shard_batch(jnp.asarray(batch['inputs']), self.mesh)
             if 'gt_edge_map' in batch:
                 labels = shard_batch(
