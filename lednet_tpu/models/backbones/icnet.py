@@ -62,8 +62,10 @@ class ICNet(nn.Module):
         if is_resnet:
             bb_cfg.setdefault('ceil_maxpool', True)
         backbone = MODELS.build(bb_cfg)
-        half = resize_bilinear(x, (x.shape[1] // 2, x.shape[2] // 2),
-                               self.align_corners)
+        # torch semantics: the reference resizes by scale_factor=0.5
+        # (coordinate mapping by the factor, not the size ratio)
+        half = resize_bilinear(x, align_corners=self.align_corners,
+                               scale_factor=0.5)
         if is_resnet:
             mid_feat = backbone(half, train=train, stage_range=(0, 2))[-1]
         else:
@@ -73,15 +75,13 @@ class ICNet(nn.Module):
                           name='conv_sub2')(mid_feat, train=train)
 
         # sub4: re-enter stages 3-4 on the pooled mid feature, then PSP
-        quarter = resize_bilinear(mid_feat, (mid_feat.shape[1] // 2,
-                                             mid_feat.shape[2] // 2),
-                                  self.align_corners)
+        quarter = resize_bilinear(mid_feat, align_corners=self.align_corners,
+                                  scale_factor=0.5)
         if is_resnet:
             deep = backbone(quarter, train=train, stage_range=(2, 4))[-1]
         else:
-            half_half = resize_bilinear(half, (half.shape[1] // 2,
-                                               half.shape[2] // 2),
-                                        self.align_corners)
+            half_half = resize_bilinear(half, align_corners=self.align_corners,
+                                        scale_factor=0.5)
             deep = backbone(half_half, train=train)[-1]
         size = deep.shape[-3:-1]
         psp_outs = []

@@ -24,14 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _linear_coords(out_size: int, in_size: int, align_corners: bool):
-    """Return (idx0, idx1, frac-weight) numpy arrays for 1-D linear interp."""
+def _linear_coords(out_size: int, in_size: int, align_corners: bool,
+                   scale: float = None):
+    """Return (idx0, idx1, frac-weight) numpy arrays for 1-D linear interp.
+
+    ``scale``: when the caller passed torch a ``scale_factor`` (not a size),
+    torch maps coordinates with THAT factor instead of the in/out size
+    ratio (``area_pixel_compute_scale``) -- on odd sizes the two differ
+    (7 -> 3 at scale_factor=0.5 samples src=(i+0.5)*2-0.5, not *(7/3)).
+    """
     if align_corners and out_size > 1:
         src = np.arange(out_size, dtype=np.float32) * (in_size - 1) / (out_size - 1)
     elif align_corners:
         src = np.zeros((out_size,), dtype=np.float32)
     else:
-        src = (np.arange(out_size, dtype=np.float32) + 0.5) * (in_size / out_size) - 0.5
+        ratio = (1.0 / scale) if scale else (in_size / out_size)
+        src = (np.arange(out_size, dtype=np.float32) + 0.5) * ratio - 0.5
         src = np.maximum(src, 0.0)
     idx0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
     idx1 = np.minimum(idx0 + 1, in_size - 1)
@@ -44,10 +52,18 @@ def _nearest_coords(out_size: int, in_size: int) -> np.ndarray:
     return np.clip(src.astype(np.int32), 0, in_size - 1)
 
 
-def resize_bilinear(x: jnp.ndarray, size: Sequence[int],
-                    align_corners: bool = False) -> jnp.ndarray:
-    """Bilinear resize of an NHWC (or ...HWC) tensor to ``size=(H, W)``."""
+def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
+                    align_corners: bool = False,
+                    scale_factor: float = None) -> jnp.ndarray:
+    """Bilinear resize of an NHWC (or ...HWC) tensor to ``size=(H, W)``.
+
+    ``scale_factor`` reproduces ``F.interpolate(..., scale_factor=f)``:
+    output size floor(in*f) AND coordinate mapping by f (torch uses the
+    given factor, not the size ratio; they differ on odd sizes).
+    """
     in_h, in_w = x.shape[-3], x.shape[-2]
+    if size is None:
+        size = (int(in_h * scale_factor), int(in_w * scale_factor))
     out_h, out_w = int(size[0]), int(size[1])
     if (in_h, in_w) == (out_h, out_w):
         return x
@@ -55,12 +71,12 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int],
     xf = x.astype(jnp.float32)
 
     if in_h != out_h:
-        y0, y1, wy = _linear_coords(out_h, in_h, align_corners)
+        y0, y1, wy = _linear_coords(out_h, in_h, align_corners, scale_factor)
         top = jnp.take(xf, jnp.asarray(y0), axis=-3)
         bot = jnp.take(xf, jnp.asarray(y1), axis=-3)
         xf = top + (bot - top) * jnp.asarray(wy)[:, None, None]
     if in_w != out_w:
-        x0, x1, wx = _linear_coords(out_w, in_w, align_corners)
+        x0, x1, wx = _linear_coords(out_w, in_w, align_corners, scale_factor)
         left = jnp.take(xf, jnp.asarray(x0), axis=-2)
         right = jnp.take(xf, jnp.asarray(x1), axis=-2)
         xf = left + (right - left) * jnp.asarray(wx)[:, None]
