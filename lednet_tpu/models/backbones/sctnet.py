@@ -151,8 +151,10 @@ class SCTNet(nn.Module):
                      name='layer4')(nn.relu(x4), train=train)
         x5 = CFBlock(8 * c, self.num_heads, self.drop_path_rate,
                      name='layer5')(nn.relu(x4), train=train)
+        # Reference's DAPPM_head (sctnet.py:362-471) uses plain Conv2d
+        # (bias=True), unlike DDRNet's bias-free ConvModule DAPPM.
         x6 = DAPPM(8 * c, self.spp_channels, 2 * c, num_scales=5,
-                   name='spp')(x5, train=train)
+                   conv_bias=True, name='spp')(x5, train=train)
         x7 = resize_bilinear(x6, x2.shape[-3:-1], False)
         x_out = jnp.concatenate([x2, x7], axis=-1)                    # 4c 1/8
         return x_out, x2

@@ -12,7 +12,10 @@ Behavioral spec from the reference ``mmseg/models/utils/ppm.py:12-192``:
 - PAPPM: same branches but the per-scale 3x3 convs are a single grouped conv
   applied to ``concat(branch_i + branch_0)`` in parallel.
 
-All convs use order=('norm','act','conv') and BN momentum 0.1.
+All convs use order=('norm','act','conv') and BN momentum 0.1. DDRNet/PIDNet
+build their convs bias-free (mmcv ConvModule auto-bias with norm), but
+SCTNet's in-repo clone ``DAPPM_head`` (reference ``sctnet.py:362-471``)
+uses plain ``Conv2d`` with default bias=True — ``conv_bias`` selects that.
 """
 from __future__ import annotations
 
@@ -38,12 +41,13 @@ class DAPPM(nn.Module):
     paddings: Sequence[int] = (2, 4, 8)
     norm_cfg: Optional[Dict] = None
     act_cfg: Optional[Dict] = None
+    conv_bias: bool = False
 
     def _branch_conv(self, name):
         return ConvModule(self.in_channels, self.branch_channels, 1,
                           norm_cfg=self.norm_cfg or dict(type='BN', momentum=0.1),
                           act_cfg=self.act_cfg or dict(type='ReLU'),
-                          order=_PRE_ACT, bias=False, name=name)
+                          order=_PRE_ACT, bias=self.conv_bias, name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,18 +69,18 @@ class DAPPM(nn.Module):
             up = resize_bilinear(branches[i], size, align_corners=False)
             fused = ConvModule(self.branch_channels, self.branch_channels, 3,
                                padding=1, norm_cfg=norm_cfg, act_cfg=act_cfg,
-                               order=_PRE_ACT, bias=False,
+                               order=_PRE_ACT, bias=self.conv_bias,
                                name=f'process{i - 1}')(up + feats[i - 1], train=train)
             feats.append(fused)
 
         out = ConvModule(self.branch_channels * self.num_scales,
                          self.out_channels, 1, norm_cfg=norm_cfg,
-                         act_cfg=act_cfg, order=_PRE_ACT, bias=False,
+                         act_cfg=act_cfg, order=_PRE_ACT, bias=self.conv_bias,
                          name='compression')(jnp.concatenate(feats, axis=-1),
                                              train=train)
         shortcut = ConvModule(self.in_channels, self.out_channels, 1,
                               norm_cfg=norm_cfg, act_cfg=act_cfg,
-                              order=_PRE_ACT, bias=False,
+                              order=_PRE_ACT, bias=self.conv_bias,
                               name='shortcut')(x, train=train)
         return out + shortcut
 
