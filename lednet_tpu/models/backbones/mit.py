@@ -25,6 +25,9 @@ class EfficientAttention(nn.Module):
     num_heads: int
     sr_ratio: int = 1
     qkv_bias: bool = True
+    # SegFormer's norm_cfg sets LN eps=1e-6; Twins reuses this block with
+    # the torch-default 1e-5 (reference twins.py:63 norm_cfg LN default).
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,7 +42,7 @@ class EfficientAttention(nn.Module):
             kv_in = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
                             padding='VALID', name='sr')(x)
-            kv_in = nn.LayerNorm(name='sr_norm')(kv_in)
+            kv_in = nn.LayerNorm(epsilon=self.ln_eps, name='sr_norm')(kv_in)
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, name='kv')(kv_in)
         n_kv = kv_in.shape[1] * kv_in.shape[2]
         kv = kv.reshape(B, n_kv, 2, self.num_heads, head_dim)

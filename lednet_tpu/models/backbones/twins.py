@@ -70,18 +70,26 @@ class PCPVT(nn.Module):
         done = 0
         for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             p = self.patch_sizes[s]
+            if p == self.strides[s]:
+                # mmcv PatchEmbed(padding='corner'): pad right/bottom so the
+                # non-overlapping conv covers the remainder (twins.py:424-431)
+                ph = (-x.shape[1]) % self.strides[s]
+                pw = (-x.shape[2]) % self.strides[s]
+                if ph or pw:
+                    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
                         padding='VALID' if p == self.strides[s] else
                         ((p // 2,) * 2, (p // 2,) * 2),
                         name=f'patch_embed{s}')(x)
-            x = nn.LayerNorm(name=f'embed_norm{s}')(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f'embed_norm{s}')(x)
             for b in range(depth):
-                h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
+                h = nn.LayerNorm(epsilon=1e-5, name=f's{s}_b{b}_norm1')(x)
                 h = EfficientAttention(dim, self.num_heads[s],
                                        self.sr_ratios[s], self.qkv_bias,
+                                       ln_eps=1e-5,
                                        name=f's{s}_b{b}_attn')(h, train=train)
                 x = x + DropPath(dpr[done])(h, train=train)
-                h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
+                h = nn.LayerNorm(epsilon=1e-5, name=f's{s}_b{b}_norm2')(x)
                 h = _FFN(dim, dim * self.mlp_ratios[s],
                          name=f's{s}_b{b}_ffn')(h, train=train)
                 x = x + DropPath(dpr[done])(h, train=train)
@@ -89,7 +97,7 @@ class PCPVT(nn.Module):
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:
-                x = nn.LayerNorm(name=f'stage_norm{s}')(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f'stage_norm{s}')(x)
             outs.append(x)
         return tuple(outs[i] for i in self.out_indices)
 
@@ -108,23 +116,31 @@ class SVT(PCPVT):
         done = 0
         for s, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             p = self.patch_sizes[s]
+            if p == self.strides[s]:
+                # mmcv PatchEmbed(padding='corner'): pad right/bottom so the
+                # non-overlapping conv covers the remainder (twins.py:424-431)
+                ph = (-x.shape[1]) % self.strides[s]
+                pw = (-x.shape[2]) % self.strides[s]
+                if ph or pw:
+                    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             x = nn.Conv(dim, (p, p), strides=(self.strides[s],) * 2,
                         padding='VALID' if p == self.strides[s] else
                         ((p // 2,) * 2, (p // 2,) * 2),
                         name=f'patch_embed{s}')(x)
-            x = nn.LayerNorm(name=f'embed_norm{s}')(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f'embed_norm{s}')(x)
             ws = self.windiow_sizes[s]
             for b in range(depth):
-                h = nn.LayerNorm(name=f's{s}_b{b}_norm1')(x)
+                h = nn.LayerNorm(epsilon=1e-5, name=f's{s}_b{b}_norm1')(x)
                 if b % 2 == 0:
                     h = self._local_attn(h, dim, self.num_heads[s], ws,
                                          f's{s}_b{b}')
                 else:
                     h = EfficientAttention(
                         dim, self.num_heads[s], self.sr_ratios[s],
-                        self.qkv_bias, name=f's{s}_b{b}_attn')(h, train=train)
+                        self.qkv_bias, ln_eps=1e-5,
+                        name=f's{s}_b{b}_attn')(h, train=train)
                 x = x + DropPath(dpr[done])(h, train=train)
-                h = nn.LayerNorm(name=f's{s}_b{b}_norm2')(x)
+                h = nn.LayerNorm(epsilon=1e-5, name=f's{s}_b{b}_norm2')(x)
                 h = _FFN(dim, dim * self.mlp_ratios[s],
                          name=f's{s}_b{b}_ffn')(h, train=train)
                 x = x + DropPath(dpr[done])(h, train=train)
@@ -132,7 +148,7 @@ class SVT(PCPVT):
                 if b == 0:
                     x = _CPE(dim, name=f'cpe{s}')(x)
             if self.norm_after_stage:
-                x = nn.LayerNorm(name=f'stage_norm{s}')(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f'stage_norm{s}')(x)
             outs.append(x)
         return tuple(outs[i] for i in self.out_indices)
 
@@ -151,9 +167,13 @@ class SVT(PCPVT):
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
                           preferred_element_type=jnp.float32) * hd ** -0.5
-        if pad_h or pad_w:
+        if pad_h and pad_w:
             # LSA pad mask (reference twins.py:204-221): real and padded
-            # tokens must not attend each other (-1000 additive)
+            # tokens must not attend each other (-1000 additive). NOTE the
+            # reference fills with `mask[:, -pad:, :]` unconditionally, so a
+            # zero pad on either axis floods the whole mask with 1s and the
+            # mask becomes a no-op — effective only when BOTH pads are
+            # nonzero; replicated here for checkpoint fidelity.
             import numpy as np
             m = np.zeros((Hp, Wp), np.float32)
             if pad_h:
