@@ -186,6 +186,11 @@ class ResNet(nn.Module):
             return outs
         return tuple(outs[i] for i in self.out_indices)
 
+    def _block_kwargs(self):
+        """Extra per-block ctor kwargs; subclasses forward their knobs
+        (ResNeXt groups/base_width, ResNeSt radix/reduction_factor)."""
+        return {}
+
     def _stages(self, x, lo, hi, block_cls, stage_blocks, expansion,
                 norm_cfg, train):
         outs = []
@@ -207,7 +212,7 @@ class ResNet(nn.Module):
                 needs_down = (s != 1 or in_ch != planes * expansion)
                 x = block_cls(in_ch, planes, stride=s, dilation=d,
                               downsample=needs_down, avg_down=self.avg_down,
-                              norm_cfg=norm_cfg,
+                              norm_cfg=norm_cfg, **self._block_kwargs(),
                               name=f'layer{i + 1}_{j}')(x, train=train)
                 in_ch = planes * expansion
             outs.append(x)

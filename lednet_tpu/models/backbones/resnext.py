@@ -70,6 +70,9 @@ class ResNeXt(ResNet):
         152: (_ResNeXtBottleneck, (3, 8, 36, 3)),
     }
 
+    def _block_kwargs(self):
+        return dict(groups=self.groups, base_width=self.base_width)
+
 
 class _SplitAttnBottleneck(nn.Module):
     """ResNeSt split-attention bottleneck, radix 2 (reference
@@ -143,6 +146,10 @@ class ResNeSt(ResNet):
         101: (_SplitAttnBottleneck, (3, 4, 23, 3)),
         200: (_SplitAttnBottleneck, (3, 24, 36, 3)),
     }
+
+    def _block_kwargs(self):
+        return dict(radix=self.radix,
+                    reduction_factor=self.reduction_factor)
 
 
 def _beit_rel_pos_index(wh: int, ww: int):

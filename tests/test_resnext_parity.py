@@ -1,0 +1,122 @@
+"""Whole-network torch transplant parity for ResNeXt.
+
+Torch mirror of reference ``mmseg/models/backbones/resnext.py:11-150``:
+pytorch-style bottleneck with grouped 3x3 and
+``width = floor(planes * base_width / 64) * groups``. Uses NON-default
+groups/base_width to pin that the backbone forwards its knobs into the
+blocks (they were silently dropped before this test).
+"""
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from lednet_tpu.registry import MODELS
+import lednet_tpu.models  # noqa: F401
+
+from test_ddrnet_parity import _copy_convbn, _copy_plain
+
+C = 16
+GROUPS, BASE_WIDTH = 4, 8
+STAGE_BLOCKS = (3, 4, 6, 3)
+
+
+class TNeXtBottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1, dilation=1, down=False):
+        super().__init__()
+        width = int(np.floor(planes * (BASE_WIDTH / 64))) * GROUPS
+        self.conv1 = tnn.Sequential(
+            tnn.Conv2d(cin, width, 1, bias=False), tnn.BatchNorm2d(width))
+        self.conv2 = tnn.Sequential(
+            tnn.Conv2d(width, width, 3, stride=stride, padding=dilation,
+                       dilation=dilation, groups=GROUPS, bias=False),
+            tnn.BatchNorm2d(width))
+        self.conv3 = tnn.Sequential(
+            tnn.Conv2d(width, planes * 4, 1, bias=False),
+            tnn.BatchNorm2d(planes * 4))
+        self.down = tnn.Sequential(
+            tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(planes * 4)) if down else None
+
+    def forward(self, x):
+        idt = x if self.down is None else self.down(x)
+        out = F.relu(self.conv1(x))
+        out = F.relu(self.conv2(out))
+        out = self.conv3(out)
+        return F.relu(out + idt)
+
+
+class TResNeXt(tnn.Module):
+    def __init__(self, strides=(1, 2, 1, 1), dilations=(1, 1, 2, 4),
+                 contract=True):
+        super().__init__()
+        self.stem = tnn.Sequential(
+            tnn.Conv2d(3, C, 7, stride=2, padding=3, bias=False),
+            tnn.BatchNorm2d(C), tnn.ReLU())
+        self.layers = tnn.ModuleList()
+        cin = C
+        for i in range(4):
+            planes = C * 2 ** i
+            blocks = tnn.ModuleList()
+            for j in range(STAGE_BLOCKS[i]):
+                d = dilations[i]
+                if j == 0 and d > 1 and contract:
+                    d = d // 2
+                s = strides[i] if j == 0 else 1
+                blocks.append(TNeXtBottleneck(
+                    cin, planes, s, d, down=(s != 1 or cin != planes * 4)))
+                cin = planes * 4
+            self.layers.append(blocks)
+
+    def forward(self, x):
+        x = F.max_pool2d(self.stem(x), 3, stride=2, padding=1)
+        outs = []
+        for blocks in self.layers:
+            for b in blocks:
+                x = b(x)
+            outs.append(x)
+        return outs
+
+
+def test_resnext50_d8_full_parity(rng):
+    model = MODELS.build(dict(
+        type='ResNeXt', depth=50, stem_channels=C, base_channels=C,
+        groups=GROUPS, base_width=BASE_WIDTH, strides=(1, 2, 1, 1),
+        dilations=(1, 1, 2, 4), contract_dilation=True,
+        out_indices=(0, 1, 2, 3)))
+    x = rng.standard_normal((1, 63, 97, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    def rnd(t):
+        return jnp.asarray(rng.standard_normal(t.shape).astype(np.float32)
+                           * 0.05 + float(t.mean() > 0.5))
+    stats = jax.tree.map(rnd, variables['batch_stats'])
+    variables = {'params': variables['params'], 'batch_stats': stats}
+    outs_j = model.apply(variables, jnp.asarray(x), train=False)
+
+    p = jax.device_get(variables['params'])
+    s = jax.device_get(variables['batch_stats'])
+    tm = TResNeXt()
+    _copy_plain(tm.stem[0], tm.stem[1], p['stem']['conv'], p['stem']['norm'],
+                s['stem']['norm'])
+    for i in range(4):
+        for j in range(STAGE_BLOCKS[i]):
+            bp, bs = p[f'layer{i + 1}_{j}'], s[f'layer{i + 1}_{j}']
+            tb = tm.layers[i][j]
+            _copy_convbn(tb.conv1, bp['conv1'], bs['conv1'])
+            _copy_convbn(tb.conv2, bp['conv2'], bs['conv2'])
+            _copy_convbn(tb.conv3, bp['conv3'], bs['conv3'])
+            if tb.down is not None:
+                _copy_plain(tb.down[0], tb.down[1], bp['downsample_conv'],
+                            bp['downsample_norm'], bs['downsample_norm'])
+
+    tm.eval()
+    with torch.no_grad():
+        outs_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for k, (a, b) in enumerate(zip(outs_j, outs_t)):
+        np.testing.assert_allclose(
+            np.asarray(a), b.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3, err_msg=f'stage {k}')
