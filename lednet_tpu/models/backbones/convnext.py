@@ -119,13 +119,15 @@ class ConvNeXt(nn.Module):
 def _avg_pool_nopad(x, window=3):
     """3x3 stride-1 SAME average pool, count_include_pad=False (torch
     AvgPool2d semantics used by PoolFormer's token mixer)."""
+    import numpy as np
     dims = (1, window, window, 1)
-    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-    s = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add, dims,
+    # init must be a Python scalar so JAX recognizes the add monoid
+    # (reduce_window_sum) — a traced zero kills reverse-mode autodiff
+    s = lax.reduce_window(x, 0.0, lax.add, dims, (1, 1, 1, 1), 'SAME')
+    ones = np.ones((1, *x.shape[1:3], 1), np.float32)
+    c = lax.reduce_window(jnp.asarray(ones), 0.0, lax.add, dims,
                           (1, 1, 1, 1), 'SAME')
-    c = lax.reduce_window(ones, jnp.zeros((), x.dtype), lax.add, dims,
-                          (1, 1, 1, 1), 'SAME')
-    return s / c
+    return s / c.astype(x.dtype)
 
 
 class _PoolFormerBlock(nn.Module):
@@ -135,11 +137,12 @@ class _PoolFormerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=1, name='norm1')(x)
+        # torch GroupNorm default eps (PoolFormer uses GroupNorm(1, dim))
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='norm1')(x)
         h = _avg_pool_nopad(h) - h  # token mixing: pooling minus identity
         x = x + _LayerScale(self.dim, self.layer_scale_init_value,
                             name='ls1')(h)
-        h = nn.GroupNorm(num_groups=1, name='norm2')(x)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='norm2')(x)
         h = nn.Conv(self.dim * self.mlp_ratio, (1, 1), name='fc1')(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.dim, (1, 1), name='fc2')(h)
