@@ -48,20 +48,24 @@ class CARAFE(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k, up = self.kernel_size, self.up_factor
+        # reference: plain 1x1 compressor, no norm/act (model_utils_speed.py:617)
         comp = ConvModule(self.inC, max(self.inC // self.cp_rate, 1), 1,
-                          norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
+                          norm_cfg=None, act_cfg=None,
                           name='comp')(x, train=train)
-        # predict up^2 * k^2 kernels per source pixel, pixel-shuffle to up-grid
+        # predict up^2 * k^2 kernels per source pixel; channel layout is
+        # kernel-major (kk * up^2 + i*up + j) so torch pixel_shuffle-trained
+        # encoder weights transplant unchanged (model_utils_speed.py:628)
         kern = nn.Conv(up * up * k * k, (k, k),
                        padding=((k // 2,) * 2, (k // 2,) * 2),
                        kernel_init=kaiming_init, name='content')(comp)
         B, H, W, _ = kern.shape
-        kern = kern.reshape(B, H, W, up, up, k * k)
-        kern = kern.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * up, W * up,
+        kern = kern.reshape(B, H, W, k * k, up, up)
+        kern = kern.transpose(0, 1, 4, 2, 5, 3).reshape(B, H * up, W * up,
                                                         k * k)
         kern = nn.softmax(kern.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = carafe_reassemble(x, kern, up, k)
-        if self.outC != self.inC:
-            out = ConvModule(self.inC, self.outC, 1, norm_cfg=self.norm_cfg,
-                             act_cfg=None, name='out_proj')(out, train=train)
+        # reference applies the 1x1 out conv unconditionally (:620,650)
+        out = ConvModule(self.inC, self.outC, 1,
+                         norm_cfg=(dict(type='BN') if self.norm_cfg else None),
+                         act_cfg=None, name='out_proj')(out, train=train)
         return out
