@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.layers import ConvModule, Norm2d, kaiming_init
 from lednet_tpu.ops import max_pool2d
+from lednet_tpu.ops.resize import resize_bilinear
 from lednet_tpu.registry import MODELS
+
+# the reference blocks ignore the class-level norm_cfg and always build
+# their own BN with eps=1e-3 (erfnet.py:35,96,160)
+_BN3 = dict(type='BN', eps=1e-3)
 
 
 class DownsamplerBlock(nn.Module):
@@ -29,8 +34,12 @@ class DownsamplerBlock(nn.Module):
                        strides=(2, 2), padding=((1, 1), (1, 1)),
                        kernel_init=kaiming_init, name='conv')(x)
         pool = max_pool2d(x, 2, 2, 0)
+        if pool.shape[1:3] != conv.shape[1:3]:
+            # odd inputs: conv gives ceil(H/2), pool floor(H/2); the
+            # reference bilinearly resizes the pooled branch (erfnet.py:56-61)
+            pool = resize_bilinear(pool, conv.shape[1:3], align_corners=False)
         out = jnp.concatenate([conv, pool], axis=-1)
-        out = Norm2d(self.norm_cfg or dict(type='BN'), name='bn')(out, train=train)
+        out = Norm2d(self.norm_cfg or _BN3, name='bn')(out, train=train)
         return nn.relu(out)
 
 
@@ -43,7 +52,7 @@ class NonBottleneck1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c, d = self.channels, self.dilation
-        norm_cfg = self.norm_cfg or dict(type='BN')
+        norm_cfg = self.norm_cfg or _BN3
         h = nn.Conv(c, (3, 1), padding=((1, 1), (0, 0)), use_bias=True,
                     kernel_init=kaiming_init, name='conv3x1_1')(x)
         h = nn.relu(h)
@@ -78,7 +87,7 @@ class UpsamplerBlock(nn.Module):
         x = nn.ConvTranspose(self.out_channels, (3, 3), strides=(2, 2),
                              padding=((1, 2), (1, 2)),
                              kernel_init=kaiming_init, name='deconv')(x)
-        x = Norm2d(self.norm_cfg or dict(type='BN'), name='bn')(x, train=train)
+        x = Norm2d(self.norm_cfg or _BN3, name='bn')(x, train=train)
         return nn.relu(x)
 
 
@@ -99,7 +108,9 @@ class ERFNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm_cfg = self.norm_cfg or dict(type='BN')
+        # reference ERFNet never forwards its norm_cfg into the blocks;
+        # they keep their own BN(eps=1e-3) defaults (erfnet.py:287-321)
+        norm_cfg = self.norm_cfg
         dch = list(self.enc_downsample_channels)
 
         x = DownsamplerBlock(self.in_channels, dch[0], norm_cfg,

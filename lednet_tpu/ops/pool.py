@@ -65,7 +65,12 @@ def max_pool2d(x: jnp.ndarray, kernel_size: _Size, stride: _Size = None,
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
     ph, pw = _pair(padding)
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg_inf = -jnp.inf
+    else:
+        # keep the init value in the operand dtype (a bare Python int is
+        # weakly typed int32 and reduce_window rejects e.g. uint8 operands)
+        neg_inf = jnp.dtype(x.dtype).type(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(x, neg_inf, jax.lax.max,
                                  (1, kh, kw, 1), (1, sh, sw, 1),
                                  ((0, 0), (ph, ph), (pw, pw), (0, 0)))

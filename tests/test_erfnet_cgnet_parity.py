@@ -52,7 +52,7 @@ def test_erfnet_downsampler_matches_torch(rng):
     out_j = mod.apply(v, jnp.asarray(x), train=False)
 
     conv = tnn.Conv2d(8, 16, 3, 2, 1)
-    bn = tnn.BatchNorm2d(24)
+    bn = tnn.BatchNorm2d(24, eps=1e-3)
     _to_torch_conv(conv, v['params']['conv'])
     _to_torch_bn(bn, v['params']['bn']['bn'], v['batch_stats']['bn']['bn'])
     bn.eval()
@@ -74,10 +74,10 @@ def test_erfnet_nonbottleneck1d_matches_torch(rng):
     p, s = v['params'], v['batch_stats']
     c31a = tnn.Conv2d(16, 16, (3, 1), padding=(1, 0))
     c13a = tnn.Conv2d(16, 16, (1, 3), padding=(0, 1))
-    bn1 = tnn.BatchNorm2d(16)
+    bn1 = tnn.BatchNorm2d(16, eps=1e-3)
     c31b = tnn.Conv2d(16, 16, (3, 1), padding=(2, 0), dilation=(2, 1))
     c13b = tnn.Conv2d(16, 16, (1, 3), padding=(0, 2), dilation=(1, 2))
-    bn2 = tnn.BatchNorm2d(16)
+    bn2 = tnn.BatchNorm2d(16, eps=1e-3)
     _to_torch_conv(c31a, p['conv3x1_1'])
     _to_torch_conv(c13a, p['conv1x3_1'])
     _to_torch_bn(bn1, p['bn1']['bn'], s['bn1']['bn'])
@@ -103,7 +103,7 @@ def test_erfnet_upsampler_matches_torch(rng):
 
     deconv = tnn.ConvTranspose2d(12, 8, 3, stride=2, padding=1,
                                  output_padding=1)
-    bn = tnn.BatchNorm2d(8)
+    bn = tnn.BatchNorm2d(8, eps=1e-3)
     # flax ConvTranspose kernel (kh, kw, in, out) == torch flipped spatially
     k = np.asarray(v['params']['deconv']['kernel'])
     with torch.no_grad():
@@ -198,3 +198,155 @@ def test_cgnet_block_matches_torch(rng, downsample):
     np.testing.assert_allclose(np.asarray(out_j),
                                out_t.numpy().transpose(0, 2, 3, 1),
                                atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Whole-network ERFNet parity (reference erfnet.py:194-329 assembly: blocks
+# keep their own BN eps=1e-3 defaults; DownsamplerBlock bilinearly resizes
+# the pooled branch to the conv branch for odd inputs, erfnet.py:56-61).
+# ---------------------------------------------------------------------------
+
+ENC_DOWN = (8, 16, 32)
+ENC_NB = (2, 4)
+ENC_DIL = (2, 4, 8, 16)
+DEC_UP = (16, 8)
+DEC_NB = (1, 1)
+
+
+class TDown(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout - cin, 3, 2, 1)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        c = self.conv(x)
+        p = F.max_pool2d(x, 2, 2)
+        if p.shape[2:] != c.shape[2:]:
+            p = F.interpolate(p, c.shape[2:], mode='bilinear',
+                              align_corners=False)
+        return F.relu(self.bn(torch.cat([c, p], 1)))
+
+
+class TNB1d(tnn.Module):
+    def __init__(self, ch, dilation=1):
+        super().__init__()
+        d = dilation
+        self.c31a = tnn.Conv2d(ch, ch, (3, 1), padding=(1, 0))
+        self.c13a = tnn.Conv2d(ch, ch, (1, 3), padding=(0, 1))
+        self.bn1 = tnn.BatchNorm2d(ch, eps=1e-3)
+        self.c31b = tnn.Conv2d(ch, ch, (3, 1), padding=(d, 0),
+                               dilation=(d, 1))
+        self.c13b = tnn.Conv2d(ch, ch, (1, 3), padding=(0, d),
+                               dilation=(1, d))
+        self.bn2 = tnn.BatchNorm2d(ch, eps=1e-3)
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.c13a(F.relu(self.c31a(x)))))
+        h = self.bn2(self.c13b(F.relu(self.c31b(h))))
+        return F.relu(x + h)
+
+
+class TUp(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.deconv = tnn.ConvTranspose2d(cin, cout, 3, stride=2, padding=1,
+                                          output_padding=1)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.deconv(x)))
+
+
+class TERFNet(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.down0 = TDown(3, ENC_DOWN[0])
+        self.down1 = TDown(ENC_DOWN[0], ENC_DOWN[1])
+        self.enc1 = tnn.ModuleList(
+            [TNB1d(ENC_DOWN[1]) for _ in range(ENC_NB[0])])
+        self.down2 = TDown(ENC_DOWN[1], ENC_DOWN[2])
+        self.enc2 = tnn.ModuleList(
+            [TNB1d(ENC_DOWN[2], ENC_DIL[i % 4]) for i in range(ENC_NB[1])])
+        self.ups, self.decs = tnn.ModuleList(), tnn.ModuleList()
+        cin = ENC_DOWN[2]
+        for s, ch in enumerate(DEC_UP):
+            self.ups.append(TUp(cin, ch))
+            self.decs.append(tnn.ModuleList(
+                [TNB1d(ch) for _ in range(DEC_NB[s])]))
+            cin = ch
+
+    def forward(self, x):
+        x = self.down1(self.down0(x))
+        for m in self.enc1:
+            x = m(x)
+        x = self.down2(x)
+        for m in self.enc2:
+            x = m(x)
+        for up, decs in zip(self.ups, self.decs):
+            x = up(x)
+            for m in decs:
+                x = m(x)
+        return x
+
+
+def _copy_nb1d(t, p, s):
+    _to_torch_conv(t.c31a, p['conv3x1_1'])
+    _to_torch_conv(t.c13a, p['conv1x3_1'])
+    _to_torch_bn(t.bn1, p['bn1']['bn'], s['bn1']['bn'])
+    _to_torch_conv(t.c31b, p['conv3x1_2'])
+    _to_torch_conv(t.c13b, p['conv1x3_2'])
+    _to_torch_bn(t.bn2, p['bn2']['bn'], s['bn2']['bn'])
+
+
+def _copy_down(t, p, s):
+    _to_torch_conv(t.conv, p['conv'])
+    _to_torch_bn(t.bn, p['bn']['bn'], s['bn']['bn'])
+
+
+def _copy_up(t, p, s):
+    k = np.asarray(p['deconv']['kernel'])
+    with torch.no_grad():
+        t.deconv.weight.copy_(torch.from_numpy(
+            k[::-1, ::-1].transpose(2, 3, 0, 1).copy()))
+        t.deconv.bias.copy_(torch.from_numpy(
+            np.asarray(p['deconv']['bias']).copy()))
+    _to_torch_bn(t.bn, p['bn']['bn'], s['bn']['bn'])
+
+
+def test_erfnet_full_parity(rng):
+    from lednet_tpu.registry import MODELS
+    import lednet_tpu.models  # noqa: F401
+    model = MODELS.build(dict(
+        type='ERFNet', enc_downsample_channels=ENC_DOWN,
+        enc_stage_non_bottlenecks=ENC_NB,
+        enc_non_bottleneck_dilations=ENC_DIL,
+        enc_non_bottleneck_channels=(16, 32),
+        dec_upsample_channels=DEC_UP, dec_stages_non_bottleneck=DEC_NB,
+        dec_non_bottleneck_channels=DEC_UP, dropout_ratio=0.1))
+    x = rng.standard_normal((1, 63, 45, 3)).astype(np.float32)  # odd sizes
+    v = _init(model, x, rng)
+    out_j, = model.apply(v, jnp.asarray(x), train=False)
+
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    t = TERFNet()
+    _copy_down(t.down0, p['down0'], s['down0'])
+    _copy_down(t.down1, p['down1'], s['down1'])
+    _copy_down(t.down2, p['down2'], s['down2'])
+    for i in range(ENC_NB[0]):
+        _copy_nb1d(t.enc1[i], p[f'enc1_{i}'], s[f'enc1_{i}'])
+    for i in range(ENC_NB[1]):
+        _copy_nb1d(t.enc2[i], p[f'enc2_{i}'], s[f'enc2_{i}'])
+    for sidx in range(2):
+        _copy_up(t.ups[sidx], p[f'up{sidx}'], s[f'up{sidx}'])
+        for i in range(DEC_NB[sidx]):
+            _copy_nb1d(t.decs[sidx][i], p[f'dec{sidx}_{i}'],
+                       s[f'dec{sidx}_{i}'])
+
+    t.eval()
+    with torch.no_grad():
+        out_t = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
