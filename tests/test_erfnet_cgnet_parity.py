@@ -350,3 +350,112 @@ def test_erfnet_full_parity(rng):
     np.testing.assert_allclose(np.asarray(out_j),
                                out_t.numpy().transpose(0, 2, 3, 1),
                                atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Whole-network CGNet parity (reference cgnet.py:186-360: 3-conv stem,
+# avg-pooled input injections, norm_prelu fusion points, two CG stages with
+# the stage-entry downsample block's feature re-concatenated at the exit).
+# ---------------------------------------------------------------------------
+
+CG_CH = (8, 16, 32)
+CG_BLOCKS = (2, 3)
+CG_DIL = (2, 4)
+CG_RED = (4, 8)
+
+
+class TCGNet(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        c0, c1, c2 = CG_CH
+        self.stem = tnn.ModuleList()
+        cur = 3
+        for i in range(3):
+            self.stem.append(tnn.Sequential(
+                tnn.Conv2d(cur, c0, 3, 2 if i == 0 else 1, 1, bias=False),
+                tnn.BatchNorm2d(c0), tnn.PReLU(c0)))
+            cur = c0
+        self.np0 = tnn.Sequential(tnn.BatchNorm2d(c0 + 3),
+                                  tnn.PReLU(c0 + 3))
+        self.level1 = tnn.ModuleList([
+            TCGBlock(c0 + 3 if i == 0 else c1, c1, CG_DIL[0], CG_RED[0],
+                     downsample=(i == 0)) for i in range(CG_BLOCKS[0])])
+        self.np1 = tnn.Sequential(tnn.BatchNorm2d(2 * c1 + 3),
+                                  tnn.PReLU(2 * c1 + 3))
+        self.level2 = tnn.ModuleList([
+            TCGBlock(2 * c1 + 3 if i == 0 else c2, c2, CG_DIL[1], CG_RED[1],
+                     downsample=(i == 0)) for i in range(CG_BLOCKS[1])])
+        self.np2 = tnn.Sequential(tnn.BatchNorm2d(2 * c2),
+                                  tnn.PReLU(2 * c2))
+
+    def forward(self, x):
+        inp2 = F.avg_pool2d(x, 3, 2, 1)
+        inp4 = F.avg_pool2d(inp2, 3, 2, 1)
+        h = x
+        for m in self.stem:
+            h = m(h)
+        h = self.np0(torch.cat([h, inp2], 1))
+        out0 = h
+        for i, m in enumerate(self.level1):
+            h = m(h)
+            if i == 0:
+                down1 = h
+        h = self.np1(torch.cat([h, down1, inp4], 1))
+        out1 = h
+        for i, m in enumerate(self.level2):
+            h = m(h)
+            if i == 0:
+                down2 = h
+        h = self.np2(torch.cat([down2, h], 1))
+        return out0, out1, h
+
+
+def _copy_cgblock(t, p, s):
+    _to_torch_conv(t.conv1x1[0], p['conv1x1'])
+    _to_torch_bn(t.conv1x1[1], p['norm1']['bn'], s['norm1']['bn'])
+    _copy_prelu(t.conv1x1[2], p['act1'])
+    _to_torch_conv(t.f_loc, p['f_loc'])
+    _to_torch_conv(t.f_sur, p['f_sur'])
+    _to_torch_bn(t.bn, p['bn']['bn'], s['bn']['bn'])
+    _copy_prelu(t.act, p['act2'])
+    if t.reduce is not None:
+        _to_torch_conv(t.reduce, p['reduce'])
+    _copy_linear(t.fc[0], p['f_glo']['fc1'])
+    _copy_linear(t.fc[2], p['f_glo']['fc2'])
+
+
+def test_cgnet_full_parity(rng):
+    from lednet_tpu.registry import MODELS
+    import lednet_tpu.models  # noqa: F401
+    model = MODELS.build(dict(
+        type='CGNet', num_channels=CG_CH, num_blocks=CG_BLOCKS,
+        dilations=CG_DIL, reductions=CG_RED))
+    x = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    v = _init(model, x, rng)
+    outs_j = model.apply(v, jnp.asarray(x), train=False)
+
+    p = jax.device_get(v['params'])
+    s = jax.device_get(v['batch_stats'])
+    t = TCGNet()
+    for i in range(3):
+        _to_torch_conv(t.stem[i][0], p[f'stem{i}'])
+        _to_torch_bn(t.stem[i][1], p[f'stem_norm{i}']['bn'],
+                     s[f'stem_norm{i}']['bn'])
+        _copy_prelu(t.stem[i][2], p[f'stem_act{i}'])
+    for k, np_t in ((0, t.np0), (1, t.np1), (2, t.np2)):
+        _to_torch_bn(np_t[0], p[f'norm_prelu_{k}']['bn'],
+                     s[f'norm_prelu_{k}']['bn'])
+        _copy_prelu(np_t[1], p[f'act_prelu_{k}'])
+    for i in range(CG_BLOCKS[0]):
+        _copy_cgblock(t.level1[i], p[f'level1_{i}'], s[f'level1_{i}'])
+    for i in range(CG_BLOCKS[1]):
+        _copy_cgblock(t.level2[i], p[f'level2_{i}'], s[f'level2_{i}'])
+
+    t.eval()
+    with torch.no_grad():
+        outs_t = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(outs_j) == 3
+    for k, (a, b) in enumerate(zip(outs_j, outs_t)):
+        np.testing.assert_allclose(
+            np.asarray(a), b.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3, err_msg=f'stage{k}')
