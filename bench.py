@@ -175,6 +175,21 @@ def main():
         p50=round(float(np.percentile(np.array(dts) * 1e3, 50)), 3),
         mean=round(float(np.mean(dts) * 1e3), 3))
 
+    # 5b) same step under bf16 AMP (the reference's --amp analogue)
+    state_amp = create_train_state(train_model, tx,
+                                   dict(inputs=imgs, gt_seg_map=labels))
+    tstep_amp = make_train_step(train_model, tx, preprocessor=pre, amp=True)
+    state_amp, _ = tstep_amp(state_amp, imgs, labels)  # compile
+    dts = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        state_amp, logs = tstep_amp(state_amp, imgs, labels)
+        jax.block_until_ready(logs['loss'])
+        dts.append(time.perf_counter() - t0)
+    extras['train_step_512_bs8_amp_ms'] = dict(
+        p50=round(float(np.percentile(np.array(dts) * 1e3, 50)), 3),
+        mean=round(float(np.mean(dts) * 1e3), 3))
+
     def _r(d):
         return {k: round(v, 3) for k, v in d.items()}
     extras = {k: (_r(v) if isinstance(v, dict) else v)
