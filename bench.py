@@ -190,6 +190,25 @@ def main():
         p50=round(float(np.percentile(np.array(dts) * 1e3, 50)), 3),
         mean=round(float(np.mean(dts) * 1e3), 3))
 
+    # 5c) per-chip train throughput at a practical batch (the step is
+    # launch-overhead-bound at bs=8; bs=32 amortizes it ~3x per image)
+    imgs32 = jnp.asarray(rng.integers(0, 255, (32, 512, 512, 3), np.uint8),
+                         jnp.float32)
+    labels32 = jnp.asarray(rng.integers(0, 2, (32, 512, 512), np.int32))
+    state32 = create_train_state(train_model, tx,
+                                 dict(inputs=imgs32, gt_seg_map=labels32))
+    state32, _ = tstep(state32, imgs32, labels32)  # compile
+    dts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        state32, logs = tstep(state32, imgs32, labels32)
+        jax.block_until_ready(logs['loss'])
+        dts.append(time.perf_counter() - t0)
+    p50_32 = float(np.percentile(np.array(dts) * 1e3, 50))
+    extras['train_step_512_bs32_ms'] = dict(
+        p50=round(p50_32, 3), mean=round(float(np.mean(dts) * 1e3), 3),
+        img_per_s=round(32 / (p50_32 / 1e3), 1))
+
     def _r(d):
         return {k: round(v, 3) for k, v in d.items()}
     extras = {k: (_r(v) if isinstance(v, dict) else v)
