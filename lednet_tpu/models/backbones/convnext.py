@@ -15,10 +15,9 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
-from jax import lax
 
 from lednet_tpu.models.layers import DropPath, drop_path_rates
+from lednet_tpu.ops.pool import avg_pool2d
 from lednet_tpu.registry import MODELS
 
 # mmpretrain arch tables.
@@ -116,38 +115,27 @@ class ConvNeXt(nn.Module):
         return tuple(outs)
 
 
-def _avg_pool_nopad(x, window=3):
-    """3x3 stride-1 SAME average pool, count_include_pad=False (torch
-    AvgPool2d semantics used by PoolFormer's token mixer)."""
-    import numpy as np
-    dims = (1, window, window, 1)
-    # init must be a Python scalar so JAX recognizes the add monoid
-    # (reduce_window_sum) — a traced zero kills reverse-mode autodiff
-    s = lax.reduce_window(x, 0.0, lax.add, dims, (1, 1, 1, 1), 'SAME')
-    ones = np.ones((1, *x.shape[1:3], 1), np.float32)
-    c = lax.reduce_window(jnp.asarray(ones), 0.0, lax.add, dims,
-                          (1, 1, 1, 1), 'SAME')
-    return s / c.astype(x.dtype)
-
-
 class _PoolFormerBlock(nn.Module):
     dim: int
     mlp_ratio: int = 4
     layer_scale_init_value: float = 1e-5
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # torch GroupNorm default eps (PoolFormer uses GroupNorm(1, dim))
         h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='norm1')(x)
-        h = _avg_pool_nopad(h) - h  # token mixing: pooling minus identity
-        x = x + _LayerScale(self.dim, self.layer_scale_init_value,
-                            name='ls1')(h)
+        # token mixing: pooling minus identity (torch AvgPool2d(3, 1, 1,
+        # count_include_pad=False))
+        h = avg_pool2d(h, 3, 1, 1, count_include_pad=False) - h
+        h = _LayerScale(self.dim, self.layer_scale_init_value, name='ls1')(h)
+        x = x + DropPath(self.drop_path)(h, train=train)
         h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='norm2')(x)
         h = nn.Conv(self.dim * self.mlp_ratio, (1, 1), name='fc1')(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.dim, (1, 1), name='fc2')(h)
-        return x + _LayerScale(self.dim, self.layer_scale_init_value,
-                               name='ls2')(h)
+        h = _LayerScale(self.dim, self.layer_scale_init_value, name='ls2')(h)
+        return x + DropPath(self.drop_path)(h, train=train)
 
 
 @MODELS.register_module()
@@ -182,6 +170,8 @@ class PoolFormer(nn.Module):
         layers, dims = arch['layers'], arch['embed_dims']
         outs = []
         net_idx = 0
+        dpr = drop_path_rates(self.drop_path_rate, layers)
+        done = 0
         for s, (depth, dim) in enumerate(zip(layers, dims)):
             if s == 0:
                 p, st, pad = self.in_patch_size, self.in_stride, self.in_pad
@@ -194,7 +184,9 @@ class PoolFormer(nn.Module):
             for b in range(depth):
                 x = _PoolFormerBlock(dim, self.mlp_ratio,
                                      self.layer_scale_init_value,
-                                     name=f's{s}_b{b}')(x)
+                                     drop_path=dpr[done],
+                                     name=f's{s}_b{b}')(x, train=train)
+                done += 1
             if net_idx in self.out_indices:
                 outs.append(x)
             net_idx += 2  # stage then (virtual) downsample slot

@@ -110,7 +110,7 @@ class ERFNet(nn.Module):
     def __call__(self, x, train: bool = False):
         # reference ERFNet never forwards its norm_cfg into the blocks;
         # they keep their own BN(eps=1e-3) defaults (erfnet.py:287-321)
-        norm_cfg = self.norm_cfg
+        norm_cfg = None
         dch = list(self.enc_downsample_channels)
 
         x = DownsamplerBlock(self.in_channels, dch[0], norm_cfg,
@@ -122,17 +122,23 @@ class ERFNet(nn.Module):
                                 name=f'enc1_{i}')(x, train=train)
         x = DownsamplerBlock(dch[1], dch[2], norm_cfg,
                              name='down2')(x, train=train)
-        n2 = self.enc_stage_non_bottlenecks[1]
+        # reference groups the dilated blocks: iteration_times =
+        # n2 // len(dilations) full cycles (erfnet.py:296-303) — a
+        # non-divisible n2 silently builds fewer blocks, as upstream does
         dils = list(self.enc_non_bottleneck_dilations)
+        n2 = (self.enc_stage_non_bottlenecks[1] // len(dils)) * len(dils)
         for i in range(n2):
             x = NonBottleneck1d(dch[2], dils[i % len(dils)],
                                 self.dropout_ratio, norm_cfg,
                                 name=f'enc2_{i}')(x, train=train)
 
-        # decoder
-        up_ch = list(self.dec_upsample_channels)
+        # decoder: the reference wires channel counts from
+        # dec_non_bottleneck_channels only; dec_upsample_channels
+        # contributes just the stage count (erfnet.py:310-321)
+        dec_ch = list(self.dec_non_bottleneck_channels)
         in_ch = dch[2]
-        for s, ch in enumerate(up_ch):
+        for s in range(len(self.dec_upsample_channels)):
+            ch = dec_ch[s]
             x = UpsamplerBlock(in_ch, ch, norm_cfg,
                                name=f'up{s}')(x, train=train)
             for i in range(self.dec_stages_non_bottleneck[s]):

@@ -33,7 +33,12 @@ class _ResNeXtBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm_cfg = self.norm_cfg or dict(type='BN')
-        width = max(int(self.channels * (self.base_width / 64.0)), 1) * self.groups
+        if self.groups == 1:
+            # reference special case (resnext.py:28-29): plain-width 3x3
+            width = self.channels
+        else:
+            width = max(int(self.channels * (self.base_width / 64.0)),
+                        1) * self.groups
         identity = x
         out = ConvModule(self.in_channels, width, 1, norm_cfg=norm_cfg,
                          act_cfg=dict(type='ReLU'), name='conv1')(x, train=train)

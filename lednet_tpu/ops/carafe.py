@@ -64,8 +64,8 @@ class CARAFE(nn.Module):
                                                         k * k)
         kern = nn.softmax(kern.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = carafe_reassemble(x, kern, up, k)
-        # reference applies the 1x1 out conv unconditionally (:620,650)
-        out = ConvModule(self.inC, self.outC, 1,
-                         norm_cfg=(dict(type='BN') if self.norm_cfg else None),
+        # reference applies the 1x1 out conv unconditionally; norm_cfg is
+        # the ``ifBN`` analogue and is honored as given (:620,650)
+        out = ConvModule(self.inC, self.outC, 1, norm_cfg=self.norm_cfg,
                          act_cfg=None, name='out_proj')(out, train=train)
         return out

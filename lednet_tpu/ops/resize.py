@@ -47,8 +47,10 @@ def _linear_coords(out_size: int, in_size: int, align_corners: bool,
     return idx0, idx1, frac
 
 
-def _nearest_coords(out_size: int, in_size: int) -> np.ndarray:
-    src = np.floor(np.arange(out_size, dtype=np.float32) * (in_size / out_size))
+def _nearest_coords(out_size: int, in_size: int,
+                    scale: float = None) -> np.ndarray:
+    ratio = (1.0 / scale) if scale else (in_size / out_size)
+    src = np.floor(np.arange(out_size, dtype=np.float32) * ratio)
     return np.clip(src.astype(np.int32), 0, in_size - 1)
 
 
@@ -83,7 +85,8 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
     return xf.astype(orig_dtype)
 
 
-def _cubic_weights(out_size: int, in_size: int, align_corners: bool):
+def _cubic_weights(out_size: int, in_size: int, align_corners: bool,
+                   scale: float = None):
     """(idx, weight) arrays of shape (out, 4) for torch-parity bicubic
     (``upsample_bicubic2d``: Keys kernel with A=-0.75, clamped taps)."""
     if align_corners and out_size > 1:
@@ -91,7 +94,8 @@ def _cubic_weights(out_size: int, in_size: int, align_corners: bool):
     elif align_corners:
         src = np.zeros((out_size,), dtype=np.float64)
     else:
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+        ratio = (1.0 / scale) if scale else (in_size / out_size)
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * ratio - 0.5
     f = np.floor(src)
     t = src - f
 
@@ -110,7 +114,8 @@ def _cubic_weights(out_size: int, in_size: int, align_corners: bool):
 
 
 def resize_bicubic(x: jnp.ndarray, size: Sequence[int],
-                   align_corners: bool = False) -> jnp.ndarray:
+                   align_corners: bool = False,
+                   scale_factor: float = None) -> jnp.ndarray:
     """Bicubic resize of an ...HWC tensor, bit-matching torch's
     ``F.interpolate(mode='bicubic')`` (A=-0.75, border-clamped taps)."""
     in_h, in_w = x.shape[-3], x.shape[-2]
@@ -120,28 +125,31 @@ def resize_bicubic(x: jnp.ndarray, size: Sequence[int],
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     if in_h != out_h:
-        idx, w = _cubic_weights(out_h, in_h, align_corners)
+        idx, w = _cubic_weights(out_h, in_h, align_corners, scale_factor)
         taps = jnp.take(xf, jnp.asarray(idx.reshape(-1)), axis=-3)
         taps = taps.reshape(xf.shape[:-3] + (out_h, 4) + xf.shape[-2:])
         xf = jnp.einsum('...hkwc,hk->...hwc', taps, jnp.asarray(w))
     if in_w != out_w:
-        idx, w = _cubic_weights(out_w, in_w, align_corners)
+        idx, w = _cubic_weights(out_w, in_w, align_corners, scale_factor)
         taps = jnp.take(xf, jnp.asarray(idx.reshape(-1)), axis=-2)
         taps = taps.reshape(xf.shape[:-2] + (out_w, 4) + xf.shape[-1:])
         xf = jnp.einsum('...wkc,wk->...wc', taps, jnp.asarray(w))
     return xf.astype(orig_dtype)
 
 
-def resize_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+def resize_nearest(x: jnp.ndarray, size: Sequence[int],
+                   scale_factor: float = None) -> jnp.ndarray:
     """Nearest-neighbour resize (torch legacy 'nearest' rounding)."""
     in_h, in_w = x.shape[-3], x.shape[-2]
     out_h, out_w = int(size[0]), int(size[1])
     if (in_h, in_w) == (out_h, out_w):
         return x
     if in_h != out_h:
-        x = jnp.take(x, jnp.asarray(_nearest_coords(out_h, in_h)), axis=-3)
+        x = jnp.take(x, jnp.asarray(_nearest_coords(out_h, in_h, scale_factor)),
+                     axis=-3)
     if in_w != out_w:
-        x = jnp.take(x, jnp.asarray(_nearest_coords(out_w, in_w)), axis=-2)
+        x = jnp.take(x, jnp.asarray(_nearest_coords(out_w, in_w, scale_factor)),
+                     axis=-2)
     return x
 
 
@@ -151,15 +159,19 @@ def resize(x: jnp.ndarray,
            mode: str = 'bilinear',
            align_corners: bool = False) -> jnp.ndarray:
     """Drop-in analogue of the reference's ``resize`` wrapper (NHWC)."""
+    scale = None
     if size is None:
         if scale_factor is None:
             raise ValueError('either size or scale_factor must be given')
         size = (int(x.shape[-3] * scale_factor), int(x.shape[-2] * scale_factor))
+        # torch maps coordinates with the passed factor, not the size
+        # ratio (area_pixel_compute_scale) — they differ on odd sizes
+        scale = scale_factor
     size = tuple(int(s) for s in size)
     if mode == 'bilinear':
-        return resize_bilinear(x, size, align_corners)
+        return resize_bilinear(x, size, align_corners, scale_factor=scale)
     if mode == 'bicubic':
-        return resize_bicubic(x, size, align_corners)
+        return resize_bicubic(x, size, align_corners, scale_factor=scale)
     if mode == 'nearest':
-        return resize_nearest(x, size)
+        return resize_nearest(x, size, scale_factor=scale)
     raise ValueError(f'Unsupported resize mode: {mode}')

@@ -44,12 +44,16 @@ def test_poolformer_token_mixer_is_zero_at_init():
     """At init (layer scale ~1e-5) the block must be near-identity, and the
     pool-minus-identity mixer must average with count_include_pad=False
     semantics: a constant input stays exactly constant under the mixer."""
-    from lednet_tpu.models.backbones.convnext import _avg_pool_nopad
+    from lednet_tpu.ops.pool import avg_pool2d
+
+    def mixer_pool(x):
+        return avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
     x = jnp.full((1, 5, 7, 3), 2.5)
-    np.testing.assert_allclose(np.asarray(_avg_pool_nopad(x)),
+    np.testing.assert_allclose(np.asarray(mixer_pool(x)),
                                np.asarray(x), rtol=1e-6)
     # non-constant input: corners see only a 2x2 window
     y = jnp.arange(9, dtype=jnp.float32).reshape(1, 3, 3, 1)
-    pooled = np.asarray(_avg_pool_nopad(y))[0, :, :, 0]
+    pooled = np.asarray(mixer_pool(y))[0, :, :, 0]
     assert abs(pooled[0, 0] - np.mean([0, 1, 3, 4])) < 1e-6
     assert abs(pooled[1, 1] - 4.0) < 1e-6

@@ -46,6 +46,26 @@ def test_resize_nearest_matches_torch(rng, in_size, out_size):
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize('in_size,factor', [
+    ((7, 9), 0.5),     # odd sizes: coordinate ratio 2.0 != in/out (7/3)
+    ((63, 45), 0.5),
+    ((13, 17), 1.7),   # fractional upsample
+])
+@pytest.mark.parametrize('mode', ['bilinear', 'nearest', 'bicubic'])
+def test_resize_scale_factor_matches_torch(rng, in_size, factor, mode):
+    # torch maps coordinates with the PASSED scale_factor, not the
+    # in/out-size ratio (area_pixel_compute_scale) — on odd sizes the two
+    # differ; regression guard for the ICNet fix (commit 726ff70)
+    from lednet_tpu.ops.resize import resize
+    x = rng.standard_normal((2, *in_size, 3), dtype=np.float32)
+    ours = np.asarray(resize(jnp.asarray(x), scale_factor=factor, mode=mode,
+                             align_corners=False if mode != 'nearest' else None))
+    kwargs = {} if mode == 'nearest' else dict(align_corners=False)
+    ref = to_nhwc(F.interpolate(nchw(x), scale_factor=factor, mode=mode,
+                                recompute_scale_factor=False, **kwargs))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize('k,s,p', [(5, 2, 2), (9, 4, 4), (17, 8, 8), (3, 2, 1), (3, 1, 1)])
 def test_avg_pool_matches_torch(rng, k, s, p):
     # DAPPM scales use AvgPool2d(5,2,2)/(9,4,4)/(17,8,8) w/ count_include_pad
