@@ -71,9 +71,13 @@ class MobileNetV2(nn.Module):
         for i, (t, c, n) in enumerate(self.arch_settings):
             out_ch = make_divisible(c * wf, 8)
             for j in range(n):
+                # stride AND dilation apply to the first block only
+                # (reference mobilenet_v2.py:149-157: ``dilation if i == 0
+                # else 1`` — later blocks in a dilated stage stay dilation 1)
                 stride = self.strides[i] if j == 0 else 1
+                dilation = self.dilations[i] if j == 0 else 1
                 x = _DilatedInvertedResidual(
-                    in_ch, out_ch, stride, self.dilations[i], t,
+                    in_ch, out_ch, stride, dilation, t,
                     norm_cfg=norm_cfg, name=f'layer{i + 1}_{j}')(x, train=train)
                 in_ch = out_ch
             outs.append(x)
