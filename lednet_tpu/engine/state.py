@@ -98,6 +98,7 @@ def make_train_step(model, tx, preprocessor=None,
                                   opt_state=opt_state)
         logs = dict(losses)
         logs['loss'] = total
+        logs['grad_norm'] = optax.global_norm(grads)
         return new_state, logs
 
     return jax.jit(step_fn, donate_argnums=(0,))
