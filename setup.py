@@ -13,5 +13,5 @@ setup(
         'opencv-python', 'pillow',
     ],
     include_package_data=True,
-    package_data={'lednet_tpu': ['native/*.cpp']},
+    package_data={'lednet_tpu': ['native/*.cpp', 'models/text_encoder/data/*.gz']},
 )

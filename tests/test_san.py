@@ -12,7 +12,18 @@ from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
 
-def test_tokenize_fallback_contract():
+def test_tokenize_golden_clip_ids():
+    """Real BPE by default: ids must equal OpenAI CLIP's for known strings
+    (independently-known golden values, not self-derived)."""
+    toks = tokenize(['a photo of a cat', 'a diagram', 'a dog'])
+    assert toks.shape == (3, CONTEXT_LENGTH)
+    got = [row[row != 0].tolist() for row in toks]
+    assert got[0] == [SOT, 320, 1125, 539, 320, 2368, EOT]
+    assert got[1] == [SOT, 320, 22697, EOT]
+    assert got[2] == [SOT, 320, 1929, EOT]
+
+
+def test_tokenize_contract():
     toks = tokenize(['a photo of a cat.', 'a photo of a dog.'])
     assert toks.shape == (2, CONTEXT_LENGTH)
     assert (toks[:, 0] == SOT).all()
@@ -24,6 +35,23 @@ def test_tokenize_fallback_contract():
     assert not np.array_equal(toks[0], toks[1])
     # shared words share ids
     assert toks[0][1] == toks[1][1]
+
+
+def test_tokenize_hash_fallback_is_opt_in(monkeypatch, tmp_path):
+    """Without merges data, tokenize must raise unless explicitly opted in
+    (the silent hash fallback was a correctness hole — VERDICT r2 #4)."""
+    from lednet_tpu.models.text_encoder import tokenizer as tok
+    monkeypatch.setattr(tok, '_BUNDLED_BPE', str(tmp_path / 'missing.gz'))
+    monkeypatch.delenv('CLIP_BPE_PATH', raising=False)
+    tok._get_bpe.cache_clear()
+    try:
+        with pytest.raises(FileNotFoundError):
+            tok.tokenize(['a photo of a cat'])
+        toks = tok.tokenize(['a photo of a cat'],
+                            allow_hash_fallback=True)
+        assert (toks[:, 0] == SOT).all()
+    finally:
+        tok._get_bpe.cache_clear()
 
 
 def test_text_encoder_embeddings():
