@@ -21,6 +21,27 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers',
+        'slow: heavy whole-network transplant / lockstep / long-run tests; '
+        'skipped by default — run with RUN_SLOW=1 or --runslow')
+
+
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False,
+                     help='run tests marked slow (full tier)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow') or os.environ.get('RUN_SLOW') == '1':
+        return
+    skip = pytest.mark.skip(reason='slow tier: set RUN_SLOW=1 or --runslow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
