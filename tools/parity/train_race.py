@@ -180,7 +180,12 @@ def _miou(preds, labels):
     return res['mIoU'], res
 
 
-def run_jax(seed, iters, data, log=print):
+def run_jax(seed, iters, data, log=print, eval_iters=()):
+    """``eval_iters``: additional mid-run eval points; the returned 'miou'
+    is then the MEAN over all eval points (incl. the final one) — the mIoU
+    trajectory of this chaotic recipe bounces by several points between
+    checkpoints (measured ±8 for torch between iters 2000 and 2500), so a
+    late-checkpoint average is the stable outcome statistic."""
     import jax
     import jax.numpy as jnp
     from lednet_tpu.engine.optim import build_optimizer
@@ -196,30 +201,38 @@ def run_jax(seed, iters, data, log=print):
               by_epoch=False)])
     state = state.replace(opt_state=tx.init(state.params))
     step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    def eval_now(state):
+        logits = eval_step(state, jnp.asarray(vimgs))
+        return _miou(np.asarray(jnp.argmax(logits, -1)), vlabs)
+
     t0 = time.time()
+    mious = {}
     for i in range(iters):
         x, y = make_batch(imgs, labs, sched, i)
         state, logs = step(state, jnp.asarray(x), jnp.asarray(y))
+        if (i + 1) in eval_iters:
+            mious[i + 1], _ = eval_now(state)
         if (i + 1) % 500 == 0:
             log(f'  [jax seed={seed}] iter {i + 1}/{iters} '
                 f'loss={float(logs["loss"]):.4f} '
                 f'({time.time() - t0:.0f}s)')
-    eval_step = make_eval_step(model)
-    logits = eval_step(state, jnp.asarray(vimgs))
-    preds = np.asarray(jnp.argmax(logits, -1))
-    miou, res = _miou(preds, vlabs)
-    return dict(framework='jax', seed=seed, iters=iters, miou=miou,
-                metrics=res, train_s=round(time.time() - t0, 1))
+    final, res = eval_now(state)
+    mious[iters] = final
+    return dict(framework='jax', seed=seed, iters=iters,
+                miou=round(float(np.mean(list(mious.values()))), 2),
+                miou_by_iter=mious, metrics=res,
+                train_s=round(time.time() - t0, 1))
 
 
 def run_torch(seed, iters, data, log=print, perturb=0.0, perturb_seed=1,
-              grad_noise=0.0):
+              grad_noise=0.0, eval_iters=()):
     """``perturb`` adds N(0, perturb) noise to the transplanted init;
     ``grad_noise`` multiplies every gradient by (1 + N(0, grad_noise)) each
-    step.  The second models the ACCUMULATED fp divergence between two
-    frameworks (different conv algorithms perturb every step, not just the
-    init) and is the yardstick the jax-vs-torch outcome gap is judged
-    against in the shortened-race test."""
+    step (models accumulated per-step fp divergence between frameworks).
+    ``eval_iters``: see ``run_jax`` — 'miou' becomes the mean over eval
+    points."""
     import torch
     import torch.nn.functional as F
     from test_ddrnet_parity import TDDRNet, C
@@ -249,6 +262,7 @@ def run_torch(seed, iters, data, log=print, perturb=0.0, perturb_seed=1,
     ohem_ctx = TorchOhem(THRES, MIN_KEPT, 1.0)
     ohem_spa = TorchOhem(THRES, MIN_KEPT, 0.4)
     t0 = time.time()
+    mious = {}
     for i in range(iters):
         for g in opt.param_groups:
             g['lr'] = LR * (1.0 - i / iters) ** POWER
@@ -275,10 +289,24 @@ def run_torch(seed, iters, data, log=print, perturb=0.0, perturb_seed=1,
                         p.grad.mul_(1 + grad_noise * torch.randn(
                             p.grad.shape, generator=gen))
         opt.step()
+        if (i + 1) in eval_iters:
+            mious[i + 1], _ = _torch_eval(tb, th, vimgs, vlabs)
+            tb.train(), th.train()
         if (i + 1) % 500 == 0:
             log(f'  [torch seed={seed}] iter {i + 1}/{iters} '
                 f'loss={float(loss.detach()):.4f} '
                 f'({time.time() - t0:.0f}s)')
+    final, res = _torch_eval(tb, th, vimgs, vlabs)
+    mious[iters] = final
+    return dict(framework='torch', seed=seed, iters=iters,
+                miou=round(float(np.mean(list(mious.values()))), 2),
+                miou_by_iter=mious, metrics=res,
+                train_s=round(time.time() - t0, 1))
+
+
+def _torch_eval(tb, th, vimgs, vlabs):
+    import torch
+    import torch.nn.functional as F
     tb.eval(), th.eval()
     preds = []
     with torch.no_grad():
@@ -289,9 +317,7 @@ def run_torch(seed, iters, data, log=print, perturb=0.0, perturb_seed=1,
             xc = F.interpolate(xc, (CROP, CROP), mode='bilinear',
                                align_corners=False)
             preds.append(xc.argmax(1)[0].numpy())
-    miou, res = _miou(np.stack(preds), vlabs)
-    return dict(framework='torch', seed=seed, iters=iters, miou=miou,
-                metrics=res, train_s=round(time.time() - t0, 1))
+    return _miou(np.stack(preds), vlabs)
 
 
 def main():
@@ -309,12 +335,16 @@ def main():
     lednet_tpu.register_all_modules()
 
     seeds = [int(s) for s in args.seeds.split(',')]
+    # late-checkpoint averaging: the mIoU trajectory bounces by several
+    # points between adjacent checkpoints (chaotic recipe), so the outcome
+    # statistic is the mean over the last ~5 checkpoints, not one endpoint
+    eval_iters = tuple(range(args.iters - 400, args.iters, 100))
     results = []
     for seed in seeds:
         data = gen_dataset(seed)
         for fw in args.frameworks.split(','):
             run = run_jax if fw == 'jax' else run_torch
-            r = run(seed, args.iters, data)
+            r = run(seed, args.iters, data, eval_iters=eval_iters)
             print(f'{fw} seed={seed}: mIoU={r["miou"]:.2f} '
                   f'({r["train_s"]}s)', flush=True)
             results.append(r)
