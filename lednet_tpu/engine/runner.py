@@ -197,6 +197,8 @@ class Runner:
         # exchanges make it numerically the single-device forward)
         spatial_shard = bool(cfg.get('val_spatial_shard')) and \
             self.n_devices > 1 and self.test_mode == 'whole'
+        if spatial_shard and not hasattr(self, '_spatial_mesh'):
+            self._spatial_mesh = make_mesh(axis_name='spatial')
         head_cfg = (self.cfg.model.get('decode_head') or {})
         out_channels = head_cfg.get('out_channels')
         threshold = head_cfg.get('threshold', 0.3) or 0.3
@@ -208,14 +210,12 @@ class Runner:
             if spatial_shard:
                 from lednet_tpu.parallel.sharded_inference import \
                     sharded_predict
-                from lednet_tpu.parallel.mesh import make_mesh
-                mesh = make_mesh(axis_name='spatial')
                 logits = sharded_predict(
                     self.model,
                     {'params': self.state.params,
                      'batch_stats': self.state.batch_stats},
-                    inputs, mesh=mesh, preprocessor=self.preprocessor,
-                    multiple=bucket)
+                    inputs, mesh=self._spatial_mesh,
+                    preprocessor=self.preprocessor, multiple=bucket)
                 pad_h = pad_w = 0  # sharded_predict returns unpadded logits
             else:
                 if pad_h or pad_w:
@@ -236,7 +236,62 @@ class Runner:
         vis_max = vis_cfg.get('max_samples', 8)
         vis_count = 0
         vis_dir = osp.join(self.work_dir, 'vis_data', 'vis_image')
+        visualizer = None
 
+        def draw_vis(img, pred_np):
+            nonlocal vis_count, visualizer
+            from lednet_tpu.visualization import SegLocalVisualizer
+            import cv2
+            os.makedirs(vis_dir, exist_ok=True)
+            if visualizer is None:
+                visualizer = SegLocalVisualizer()
+            pred_np = pred_np.astype(np.uint8)
+            if pred_np.shape != img.shape[:2]:  # pred is at ori_shape
+                pred_np = cv2.resize(pred_np, (img.shape[1], img.shape[0]),
+                                     interpolation=cv2.INTER_NEAREST)
+            drawn = visualizer.draw_sem_seg(img, pred_np,
+                                            metainfo.get('classes'),
+                                            metainfo.get('palette'))
+            cv2.imwrite(osp.join(vis_dir, f'val_{vis_count}.png'), drawn)
+            vis_count += 1
+
+        # Batched val (reference iterates bs=1 per rank; here same-shaped
+        # images are stacked to val_batch_size and — when divisible — the
+        # batch axis is sharded over the data mesh, so multi-chip eval is
+        # data-parallel by default, complementing ``val_spatial_shard`` for
+        # images too large for one chip): bucket by (input shape, ori
+        # shape), one jitted forward + one batched postprocess per chunk.
+        vb = max(1, int(cfg.get('val_batch_size', 8)))
+
+        def flush(items):
+            n = len(items)
+            items = items + [items[-1]] * (vb - n)  # pad chunk: 1 program
+            xs = np.stack([np.asarray(it['inputs']) for it in items])
+            meta = items[0]['metainfo']
+            pad_h = (-xs.shape[1]) % bucket
+            pad_w = (-xs.shape[2]) % bucket
+            arr = jnp.asarray(xs)
+            if pad_h or pad_w:
+                arr = jnp.pad(arr, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            if self.n_devices > 1 and vb % self.n_devices == 0:
+                arr = shard_batch(arr, self.mesh)
+            logits = eval_step(self.state, arr)
+            extra_h = logits.shape[1] - xs.shape[1]
+            extra_w = logits.shape[2] - xs.shape[2]
+            _, pred = postprocess_logits(
+                logits, (extra_h, extra_w),
+                ori_shape=tuple(meta.get('ori_shape') or ()) or None,
+                out_channels=out_channels, threshold=threshold)
+            pred = pred[:n]
+            labels = np.stack([np.asarray(it['gt_seg_map'])
+                               for it in items[:n]])
+            metric.process(pred, jnp.asarray(labels), num_classes)
+            if vis_draw and vis_count < vis_max:
+                pred_np = np.asarray(pred)
+                for i in range(min(n, vis_max - vis_count)):
+                    draw_vis(np.asarray(items[i]['inputs']), pred_np[i])
+
+        pending: Dict[Any, list] = {}
         for batch in loader:
             if 'tta_views' in batch:
                 from lednet_tpu.models.segmentors.seg_tta import merge_tta_probs
@@ -249,26 +304,30 @@ class Runner:
                         flip_direction=meta.get('flip_direction') or 'horizontal')
                     view_logits.append(logits[0])
                 _, pred = merge_tta_probs(view_logits, out_channels, threshold)
-                pred = pred[None]
-            else:
+                metric.process(pred[None], jnp.asarray(batch['gt_seg_map']),
+                               num_classes)
+                continue
+            if spatial_shard:
+                # per-image: the whole mesh is busy on each single image
                 _, pred = predict_one(jnp.asarray(batch['inputs']),
                                       batch['metainfo'][0])
-            metric.process(pred, jnp.asarray(batch['gt_seg_map']), num_classes)
-            if vis_draw and vis_count < vis_max and 'inputs' in batch:
-                from lednet_tpu.visualization import SegLocalVisualizer
-                os.makedirs(vis_dir, exist_ok=True)
-                import cv2
-                vis = SegLocalVisualizer()
-                img = np.asarray(batch['inputs'][0])
-                pred_np = np.asarray(pred[0]).astype(np.uint8)
-                if pred_np.shape != img.shape[:2]:  # pred is at ori_shape
-                    pred_np = cv2.resize(pred_np, (img.shape[1], img.shape[0]),
-                                         interpolation=cv2.INTER_NEAREST)
-                drawn = vis.draw_sem_seg(img, pred_np,
-                                         metainfo.get('classes'),
-                                         metainfo.get('palette'))
-                cv2.imwrite(osp.join(vis_dir, f'val_{vis_count}.png'), drawn)
-                vis_count += 1
+                metric.process(pred, jnp.asarray(batch['gt_seg_map']),
+                               num_classes)
+                if vis_draw and vis_count < vis_max:
+                    draw_vis(np.asarray(batch['inputs'][0]),
+                             np.asarray(pred[0]))
+                continue
+            for i, meta in enumerate(batch['metainfo']):
+                item = dict(inputs=batch['inputs'][i],
+                            gt_seg_map=batch['gt_seg_map'][i],
+                            metainfo=meta)
+                key = (tuple(np.shape(item['inputs'])),
+                       tuple(meta.get('ori_shape') or ()))
+                pending.setdefault(key, []).append(item)
+                if len(pending[key]) == vb:
+                    flush(pending.pop(key))
+        for items in pending.values():
+            flush(items)
         results = metric.compute_metrics()
         print(metric.table(), flush=True)
         return results

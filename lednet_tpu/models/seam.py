@@ -51,14 +51,20 @@ class SEAM(nn.Module):
         proj = ConvModule(self.channels, 1, 3, padding=1,
                           norm_cfg=dict(type='BN'), act_cfg=None,
                           name='conv_1')(x, train=train)
-        # global min-max normalization (whole tensor, as in the reference)
-        lo = jnp.min(proj)
-        hi = jnp.max(proj)
+        # PER-SAMPLE min-max normalization.  The reference prototype
+        # normalizes over the whole tensor INCLUDING the batch axis, which
+        # makes inference output depend on batch composition (bs=1 vs bs=8
+        # disagree by O(0.7) logits — caught by the batched-val equality
+        # test).  Per-sample is identical at bs=1 (the reference's val
+        # protocol) and batch-invariant otherwise.
+        lo = jnp.min(proj, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(proj, axis=(1, 2, 3), keepdims=True)
         seg = (proj - lo) / (hi - lo + 1e-12)
 
         def binarize(t):
             if self.adaptive_threshold:
-                thr = jnp.percentile(t, 80.0)
+                thr = jnp.percentile(t.reshape(t.shape[0], -1), 80.0,
+                                     axis=1).reshape(-1, 1, 1, 1)
             else:
                 thr = self.boundary_threshold
             return jnp.where(t > thr, 1.0, 0.0).astype(t.dtype)

@@ -32,6 +32,7 @@ def tiny_cfg(tmp_path):
         work_dir=str(tmp_path)))
 
 
+@pytest.mark.slow
 def test_inference_model_roundtrip(tiny_cfg, tmp_path, rng):
     from lednet_tpu.apis import inference_model, init_model, show_result_pyplot
     img = rng.integers(0, 255, (37, 53, 3), np.uint8)
@@ -114,6 +115,7 @@ def test_projects_extension_contract(tmp_path):
     assert model is not None
 
 
+@pytest.mark.slow
 def test_inferencer_batched_matches_bs1(tiny_cfg, tmp_path, rng):
     """VERDICT #8: MMSegInferencer honors batch_size — identical outputs at
     bs=1 vs bs=4, with fewer jitted forward calls (reference batches its

@@ -44,6 +44,7 @@ def test_hausdorff_loss_finite(rng):
     assert np.isfinite(v) and v >= 0
 
 
+@pytest.mark.slow
 def test_depth_estimator_build_and_predict():
     model = MODELS.build(dict(
         type='DepthEstimator',
@@ -60,6 +61,7 @@ def test_depth_estimator_build_and_predict():
     assert depth.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_rs_inferencer(tmp_path, rng):
     from lednet_tpu.apis import RSInferencer
     from lednet_tpu.config import Config

@@ -9,6 +9,7 @@ conv, ``bisenetv1.py:242-252``), the global-context broadcast add
 (``bisenetv1.py:198-201``), and torch-legacy 'nearest' upsampling down the
 pyramid (``bisenetv1.py:202,207``).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -19,6 +20,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 lednet_tpu.register_all_modules()
 

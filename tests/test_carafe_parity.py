@@ -7,6 +7,7 @@ K^2 -> unfold neighborhoods -> matmul reassembly -> pixel_shuffle -> 1x1
 out conv. Pins the kernel-major channel layout so torch-trained encoder
 weights transplant unchanged.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -17,6 +18,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 INC, OUTC, K, UP, CP = 16, 8, 3, 2, 4
 

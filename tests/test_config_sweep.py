@@ -12,6 +12,8 @@ import lednet_tpu
 from lednet_tpu.config import Config
 from lednet_tpu.registry import MODELS
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 lednet_tpu.register_all_modules()
 
 CFG_DIR = osp.join(osp.dirname(__file__), '..', 'configs')

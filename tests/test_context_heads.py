@@ -7,6 +7,8 @@ import pytest
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 FEATS = None
 
 

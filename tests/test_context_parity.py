@@ -18,6 +18,8 @@ from lednet_tpu.models.decode_heads.context_heads import (  # noqa: E402
     cam_attention, ema_iterate)
 from lednet_tpu.registry import MODELS  # noqa: E402
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 @pytest.fixture
 def rng():

@@ -7,12 +7,15 @@
 2. Name-first matching: torch keys emitted in scrambled order with
    canonical names mirroring ours must still land on the right units.
 """
+import pytest
 import subprocess
 import sys
 import os.path as osp
 
 import numpy as np
 import torch
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
 sys.path.insert(0, REPO)

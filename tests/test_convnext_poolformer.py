@@ -1,12 +1,15 @@
 """Shape/semantics tests for the ConvNeXt and PoolFormer backbones (the
 reference consumes these from mmpretrain in configs/_base_/models/
 upernet_convnext.py and fpn_poolformer_s12.py)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def _run(model, x):

@@ -6,6 +6,7 @@ torch mirrors here follow the published architectures with mmpretrain's
 dense-prediction output path (per-out-index LayerNorm for ConvNeXt,
 interleaved out_indices for PoolFormer).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -16,6 +17,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 DEPTHS = (2, 2)
 CHANNELS = (16, 32)

@@ -11,6 +11,8 @@ from lednet_tpu.models.decode_heads.deform_pixel_decoder import (
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 def test_bilinear_sample_matches_torch_grid_sample(rng):
     import torch

@@ -4,6 +4,7 @@ The background H2D thread must not change training semantics: the same
 config trained with device_prefetch=0 (synchronous copies) and =2
 (overlapped) from the same seed must produce identical final weights.
 """
+import pytest
 import os
 
 import cv2
@@ -60,6 +61,7 @@ def _cfg(root, work_dir, prefetch):
         work_dir=work_dir))
 
 
+@pytest.mark.slow
 def test_prefetch_matches_synchronous(tmp_path):
     root = str(tmp_path / 'data')
     _make_dataset(root)

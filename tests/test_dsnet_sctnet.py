@@ -1,10 +1,13 @@
 """DSNet and SCTNet shape tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def test_dsnet_shapes():

@@ -89,6 +89,7 @@ def _tiny_cfg(data_root, work_dir):
         work_dir=str(work_dir)))
 
 
+@pytest.mark.slow
 def test_train_val_resume_cycle(pseudo_dataset, tmp_path):
     work_dir = tmp_path / 'work'
     cfg = _tiny_cfg(pseudo_dataset, work_dir)
@@ -122,6 +123,7 @@ def test_lr_schedule_poly():
     assert abs(sched(100)) < 1e-9
 
 
+@pytest.mark.slow
 def test_amp_train_step(pseudo_dataset, tmp_path):
     """bf16 mixed-precision step keeps f32 master weights and finite loss."""
     import jax
@@ -185,6 +187,7 @@ def test_layer_decay_and_paramwise_masks():
     np.testing.assert_allclose(u_embed / u_head, 0.5 ** 5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_preemption_checkpoint(pseudo_dataset, tmp_path):
     """SIGTERM mid-training saves a resumable checkpoint."""
     import os

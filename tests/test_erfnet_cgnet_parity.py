@@ -169,6 +169,8 @@ def _copy_linear(dst, p):
 
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 @pytest.mark.parametrize('downsample', [False, True])
 def test_cgnet_block_matches_torch(rng, downsample):

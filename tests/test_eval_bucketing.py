@@ -16,6 +16,8 @@ import lednet_tpu
 from lednet_tpu.config import Config
 from lednet_tpu.engine.runner import Runner
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 lednet_tpu.register_all_modules()
 
 
@@ -70,6 +72,24 @@ def test_three_odd_sizes_compile_at_most_two_programs(tmp_path):
     runner.val()
     assert runner._eval_steps['whole'] is step
     assert step._cache_size() <= 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason='needs a multi-dev mesh')
+def test_batched_dp_val_matches_per_image(tmp_path):
+    """Shape-grouped batched val (val_batch_size=8, batch axis sharded over
+    the 8-device data mesh) must reproduce per-image (val_batch_size=1)
+    metrics exactly — 10 same-sized images + 2 odd sizes exercising full
+    chunks, a padded partial chunk, and singleton buckets."""
+    root = str(tmp_path / 'data')
+    _make_dataset(root, [(96, 96)] * 10 + [(97, 130), (120, 96)])
+    r1 = Runner(_cfg(root, str(tmp_path / 'wd1'), val_batch_size=1))
+    r1.init_state()
+    base = r1.val()
+
+    r2 = Runner(_cfg(root, str(tmp_path / 'wd2'), val_batch_size=8))
+    r2.state = r1.state  # identical weights
+    batched = r2.val()
+    assert base == batched
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason='needs a multi-dev mesh')

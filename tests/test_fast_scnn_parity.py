@@ -8,6 +8,7 @@ inverted residuals use ReLU (not MobileNetV2's ReLU6) because FastSCNN
 forwards ``act_cfg`` (``fast_scnn.py:165-182``), and the GFE output conv
 is 3x3/pad 1 (``fast_scnn.py:152-158``).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -17,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.fast_scnn import FastSCNN
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def _conv_bn(conv, bn, p, s):

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.getb import GlobalLocalAttention, _relative_position_index
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 class TorchGLA(tnn.Module):
     """Faithful torch version of the reference's GlobalLocalAttention."""

@@ -1,16 +1,19 @@
 """Driver-contract tests: dryrun_multichip must compile+run the full train
 step on the virtual 8-device mesh (conftest forces the CPU platform)."""
+import pytest
 import sys
 import os.path as osp
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_builds():
     from __graft_entry__ import _build_model
     import jax

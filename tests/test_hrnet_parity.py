@@ -4,6 +4,7 @@ the reference semantics (``mmseg/models/backbones/hrnet.py``): Bottleneck
 repeated cross-resolution fusion (1x1+bilinear-up for coarser->finer,
 strided-3x3 chains that stay at channels[j] until the last conv for
 finer->coarser, hrnet.py:155-186), with every weight transplanted."""
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -14,6 +15,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 EXTRA = dict(
     stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',

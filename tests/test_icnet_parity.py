@@ -8,6 +8,7 @@ bottleneck, and the three 1x1/3x3 projection convs. Round-1's late parity
 sweep found real bugs here (approximated re-entry, missing PPM convs and
 conv_sub2/4) — this pins the fixed behavior end-to-end.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -21,6 +22,8 @@ import lednet_tpu.models  # noqa: F401
 
 from test_ddrnet_parity import _copy_plain
 from test_resnet_parity import STAGE_BLOCKS, TResNet, _transplant
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 C = 16  # resnet base_channels
 

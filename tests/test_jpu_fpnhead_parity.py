@@ -2,6 +2,7 @@
 modules (``mmseg/models/necks/jpu.py:11-131``,
 ``mmseg/models/decode_heads/fpn_head.py:10-67``) with transplanted weights —
 pins this session's new neck/head math to the torch semantics."""
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -12,6 +13,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def convbn(cin, cout, k, s=1, p=0, g=1, d=1):

@@ -90,6 +90,7 @@ def test_knet_stage0_is_conv_seg_of_kernels():
     assert w.shape == (16, 5) and b.shape == (5,)
 
 
+@pytest.mark.slow
 def test_knet_gradients_flow_to_all_stages():
     head = _head(num_stages=2)
     rng = np.random.default_rng(2)

@@ -7,6 +7,7 @@ added after the cls concat (MAE-only, mae.py:243-245), BEiT attention
 position bias table with 3 cls entries), gamma_1/2 layer scaling, final
 norm on the last layer, cls stripped from outputs.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -17,6 +18,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 DIM, HEADS, LAYERS, P = 32, 4, 4, 8
 IMG = (32, 48)  # grid 4x6 == rel-pos window (no table resize path)

@@ -9,6 +9,7 @@ combined in_proj split into q/kv, MixFFN (1x1 -> 3x3 depthwise -> exact GELU
 -> 1x1, ``mit.py:54-79``), pre-LN residuals, the per-stage final LN
 (``mit.py:419-421``), and the LN eps=1e-6 default (``mit.py:356``).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -19,6 +20,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 lednet_tpu.register_all_modules()
 

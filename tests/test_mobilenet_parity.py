@@ -3,6 +3,7 @@
 InvertedResidual blocks with make_divisible SE squeeze widths, the final
 576-channel HSwish conv, and the dense-prediction conversion (layer4/9
 stride reset WITHOUT re-enabling their residuals, dilation 2 then 4)."""
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -13,6 +14,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.mobilenet import (MobileNetV3,
                                                    make_divisible)
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 SMALL = MobileNetV3.arch_settings['small']
 

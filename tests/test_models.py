@@ -14,6 +14,7 @@ import lednet_tpu.models  # noqa: F401  (registration)
 REF = '/root/reference'
 
 
+@pytest.mark.slow
 def test_lednet_backbone_shapes():
     model = MODELS.build(dict(type='LEDNet', in_channels=3, channels=32,
                               ppm_channels=128, align_corners=False))
@@ -70,6 +71,7 @@ def test_encoder_decoder_from_reference_config():
     assert logits.shape == (1, 64, 128, 2)
 
 
+@pytest.mark.slow
 def test_encoder_decoder_slide_inference():
     model = MODELS.build(dict(
         type='EncoderDecoder',

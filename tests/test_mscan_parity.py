@@ -10,6 +10,7 @@ gate, ``mscan.py:155-180``), the MSCASpatialAttention inner shortcut of the
 (``mscan.py:276-289``), the conv Mlp, and the per-stage final LN at torch's
 default eps=1e-5 (``mscan.py:424``).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -20,6 +21,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 lednet_tpu.register_all_modules()
 

@@ -27,6 +27,7 @@ def test_pidnet_backbone_shapes(num_stem_blocks):
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason='reference not mounted')
+@pytest.mark.slow
 def test_pidnet_from_reference_config_loss_and_predict():
     cfg = Config.fromfile(
         f'{REF}/configs/pidnet/pidnet-s_2xb6-120k_1024x1024-cityscapes.py')

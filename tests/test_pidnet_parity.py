@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from lednet_tpu.models.backbones.pidnet import PagFM
 from lednet_tpu.models.ppm import PAPPM
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 def convbn(cin, cout, k, s=1, p=0, g=1):
     return tnn.Sequential(tnn.Conv2d(cin, cout, k, s, p, groups=g,

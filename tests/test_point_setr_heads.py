@@ -8,6 +8,8 @@ import pytest
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 def test_point_sample_matches_resize():
     from lednet_tpu.models.decode_heads.point_setr_heads import point_sample

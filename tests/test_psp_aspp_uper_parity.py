@@ -10,6 +10,7 @@ Torch mirrors of the reference heads:
 - UPerHead (``uper_head.py``): PSP on the deepest level + FPN lateral
   top-down + per-level fpn convs + full-resolution concat bottleneck.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -20,6 +21,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 CH = 16
 NCLS = 5

@@ -8,6 +8,7 @@ resnet.py`` + mmcv ``ResLayer``): pytorch-style Bottleneck (stride on the
 V1c deep stem. Weights transplant jax->torch; eval outputs of all four
 stages must match.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -20,6 +21,8 @@ from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
 from test_ddrnet_parity import _copy_convbn, _copy_plain
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 C = 16  # base_channels (shrunk; structure identical to base 64)
 DEPTH = 50

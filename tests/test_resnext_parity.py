@@ -6,6 +6,7 @@ pytorch-style bottleneck with grouped 3x3 and
 groups/base_width to pin that the backbone forwards its knobs into the
 blocks (they were silently dropped before this test).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -18,6 +19,8 @@ from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 
 from test_ddrnet_parity import _copy_convbn, _copy_plain
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 C = 16
 GROUPS, BASE_WIDTH = 4, 8

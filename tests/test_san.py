@@ -85,6 +85,7 @@ def _tiny_model():
                          deep_supervision_idxs=(1,))))
 
 
+@pytest.mark.slow
 def test_san_predict_and_loss():
     model = _tiny_model()
     rng = np.random.default_rng(0)
@@ -106,6 +107,7 @@ def test_san_predict_and_loss():
         assert np.isfinite(float(val)), k
 
 
+@pytest.mark.slow
 def test_san_gradients_flow():
     model = _tiny_model()
     rng = np.random.default_rng(1)

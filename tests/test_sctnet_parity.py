@@ -7,6 +7,7 @@ channel normalization; BN(eps=1e-6)->3x3->GELU->3x3 MLP) at 1/16 and 1/32,
 and the in-repo DAPPM_head clone (bias=True convs, unlike DDRNet's).
 Both outputs (concat@1/8, stage2@1/8) must match after jax->torch transplant.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -17,6 +18,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 C = 16  # base channels (small for test speed); attention inter stays 64
 

@@ -1,6 +1,7 @@
 """Serving frontend smoke test: boot tools/deployment/serve.py as a
 subprocess (CPU), hit /healthz and POST /predictions, check the returned
 mask PNG. Covers the torchserve-handler analogue end-to-end."""
+import pytest
 import os
 import os.path as osp
 import socket
@@ -10,6 +11,8 @@ import time
 import urllib.request
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 ROOT = osp.abspath(osp.join(osp.dirname(__file__), '..'))
 

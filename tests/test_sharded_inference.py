@@ -2,12 +2,15 @@
 sharded_inference.py): the sharded forward must reproduce the unsharded
 forward — GSPMD halo exchanges are an implementation detail, not a
 semantic change."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def _model():

@@ -8,6 +8,7 @@ ARM-following convs keep mmcv ConvModule's default ReLU
 and carries the stage stride (``unet.py:61-74``); UNet honors
 ``upsample_cfg`` (InterpConv vs DeconvModule).
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -20,6 +21,8 @@ import lednet_tpu
 from lednet_tpu.models.backbones.unet import (BasicConvBlock, DeconvModule,
                                               UNet)
 from lednet_tpu.registry import MODELS
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 lednet_tpu.register_all_modules()
 

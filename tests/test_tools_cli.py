@@ -70,6 +70,7 @@ train_dataloader = dict(
     assert (out_dir / 'sample_0.png').exists()
 
 
+@pytest.mark.slow
 def test_get_flops():
     out = run_tool(['tools/analysis_tools/get_flops.py',
                     'configs/LED_Net/lednet_80k_branch-512x1024.py',

@@ -257,11 +257,13 @@ def _flat_params(tb, th):
         [p.detach().numpy().copy() for p in th.parameters()]
 
 
+@pytest.mark.slow
 def test_first_loss_exact(lockstep):
     np.testing.assert_allclose(lockstep['jax_losses'][0],
                                lockstep['base']['losses'][0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trajectory_within_chaos_floor(lockstep):
     """SGD+OHEM at lr=0.01 from random init is chaotic: a 1e-6 torch-side
     weight perturbation produces trajectory divergence of its own. Parity
@@ -279,6 +281,7 @@ def test_trajectory_within_chaos_floor(lockstep):
     assert base.std() > 1e-2
 
 
+@pytest.mark.slow
 def test_final_weights_within_chaos_floor(lockstep):
     """Final-weight deviation bounded by the perturbed-torch run's own
     deviation (the trajectories are chaotic, so exact equality after 20

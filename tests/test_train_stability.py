@@ -19,6 +19,8 @@ from lednet_tpu.engine.optim import build_optimizer
 from lednet_tpu.engine.state import (create_train_state, make_eval_step,
                                      make_train_step)
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 SIZE, BS, N_ITERS = 64, 4, 2000
 
 

@@ -8,6 +8,8 @@ from lednet_tpu.registry import MODELS
 import lednet_tpu.models  # noqa: F401
 import lednet_tpu.ops  # noqa: F401
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 @pytest.mark.parametrize('btype', ['PCPVT', 'SVT'])
 def test_twins_shapes(btype):

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.u2net import RSU, RSU4F, U2Net
 
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
+
 
 class TREBN(tnn.Module):
     def __init__(self, cin, cout, d=1):

@@ -1,11 +1,14 @@
 """Flow-propagated video demo: warp_seg semantics + CLI smoke run on a
 synthetic clip (new capability; the reference's video_demo.py re-runs
 inference per frame)."""
+import pytest
 import os.path as osp
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 ROOT = osp.abspath(osp.join(osp.dirname(__file__), '..'))
 sys.path.insert(0, osp.join(ROOT, 'demo'))

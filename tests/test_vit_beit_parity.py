@@ -3,6 +3,7 @@ final-norm placement — reference ``mmseg/models/backbones/vit.py``) and the
 BEiT attention block (qv-bias + relative position bias with cls entries —
 reference ``mmseg/models/backbones/beit.py:23-149``), transplanted weights.
 """
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -13,6 +14,8 @@ import jax.numpy as jnp
 
 from lednet_tpu.models.backbones.resnext import BEiT
 from lednet_tpu.models.backbones.vit import VisionTransformer
+
+pytestmark = pytest.mark.slow  # whole-network transplant / long-run tier
 
 
 def _dense_to_torch(lin, p):

@@ -1,5 +1,6 @@
 """Shape tests for the second zoo wave (FastSCNN/ERFNet/CGNet/ICNet/HRNet/
 MobileNet)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_mobilenet_v2_shapes():
     assert outs[-1].shape == (1, 4, 4, 320)
 
 
+@pytest.mark.slow
 def test_mobilenet_v3_shapes():
     model = MODELS.build(dict(type='MobileNetV3', arch='small',
                               out_indices=(0, 1, 8)))
