@@ -152,6 +152,40 @@ def main():
     extras['whole_1024_bs8'] = {k: (v * bs if k in ('best', 'mean') else v)
                                 for k, v in rb.items()}
 
+    # 4b) the val LOOP, per-image vs shape-grouped batched (round-3: the
+    # runner now buckets same-shaped val images to val_batch_size and
+    # shards the batch axis over the mesh; this measures that loop
+    # structure end to end on resident arrays — jitted forward +
+    # postprocess (argmax) + IoUMetric histogram per image, 64 images at
+    # 1024^2 — isolating the loop-shape win from host PNG decode, which
+    # this 1-core host caps separately (see tools/speed/loader_speed.py)
+    from lednet_tpu.evaluation.iou_metric import IoUMetric
+    from lednet_tpu.models.segmentors.encoder_decoder import \
+        postprocess_logits
+    n_val = 64
+    val_labels = jnp.asarray(rng.integers(0, 2, (n_val, 1024, 1024),
+                                          np.int32))
+    val_imgs = jnp.asarray(rng.integers(0, 255, (n_val, 1024, 1024, 3),
+                                        np.uint8))
+
+    def _val_loop(chunk):
+        metric = IoUMetric()
+        t0 = time.perf_counter()
+        for i in range(0, n_val, chunk):
+            logits = step(params, batch_stats, val_imgs[i:i + chunk])
+            _, pred = postprocess_logits(logits, (0, 0))
+            metric.process(pred, val_labels[i:i + chunk], 2)
+        metric.compute_metrics()
+        return n_val / (time.perf_counter() - t0)
+
+    _val_loop(8)  # compile both chunk shapes
+    _val_loop(1)
+    per_image = max(_val_loop(1) for _ in range(3))
+    batched = max(_val_loop(8) for _ in range(3))
+    extras['val_loop_img_per_s'] = dict(
+        per_image=round(per_image, 1), batched_bs8=round(batched, 1),
+        speedup=round(batched / per_image, 2))
+
     # 5) train-step time at 512^2 bs=8 (SGD+poly+OHEM, the 80k recipe)
     tx, _ = build_optimizer(
         dict(optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
@@ -209,8 +243,45 @@ def main():
         p50=round(p50_32, 3), mean=round(float(np.mean(dts) * 1e3), 3),
         img_per_s=round(32 / (p50_32 / 1e3), 1))
 
+    # 6) auxiliary rigs in their own processes (the axon executable-
+    # degradation artifact makes in-process A/Bs unreliable; see the
+    # verify skill). Short settings so the driver bench stays bounded;
+    # the standalone tools take the full measurements.
+    import os.path as osp
+    import subprocess
+    import sys
+    here = osp.dirname(osp.abspath(__file__))
+
+    def _sub(name, cmd, timeout):
+        try:
+            out = subprocess.run([sys.executable] + cmd, cwd=here,
+                                 capture_output=True, text=True,
+                                 timeout=timeout)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith('{')]
+            if line:
+                extras[name] = json.loads(line[-1])
+            else:
+                extras[name] = dict(error=(out.stdout + out.stderr)[-300:])
+        except Exception as e:
+            extras[name] = dict(error=repr(e)[:300])
+
+    # end-to-end train throughput: on-disk PNGs -> fused aug -> prefetch
+    _sub('train_e2e', ['tools/speed/train_e2e.py', '--iters', '150',
+                       '--warm', '30', '--n-images', '256'], 1200)
+    # served path: dynamic-batching HTTP server under 16 concurrent clients
+    _sub('serving', ['tools/deployment/bench_serve.py', '--clients', '16',
+                     '--seconds', '10'], 900)
+    # bf16 AMP at a scale where it should win (SegNeXt MSCAN-L 512^2);
+    # single A/B round here (full best-of-3: tools/speed/amp_at_scale.py)
+    _sub('amp_segnext_l', ['tools/speed/amp_at_scale.py', '--amp',
+                           '--reps', '20'], 1200)
+    _sub('f32_segnext_l', ['tools/speed/amp_at_scale.py',
+                           '--reps', '20'], 1200)
+
     def _r(d):
-        return {k: round(v, 3) for k, v in d.items()}
+        return {k: (round(v, 3) if isinstance(v, (int, float)) else v)
+                for k, v in d.items()}
     extras = {k: (_r(v) if isinstance(v, dict) else v)
               for k, v in extras.items()}
 

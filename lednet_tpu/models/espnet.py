@@ -89,6 +89,32 @@ def _dilation_schedule(k: int, spatial: bool, r_lim: int, spaspp: bool) -> Tuple
     return tuple(sorted(rates))
 
 
+def _dw_shift(x, kernel, d: int, stride: int = 1):
+    """3x3 depthwise dilated conv as 9 shifted multiply-adds.
+
+    Numerically the same map as ``conv_general_dilated(...,
+    feature_group_count=C)`` with SAME padding, but expressed as pure
+    elementwise VPU work on the native NHWC layout: XLA's grouped-conv
+    lowering on TPU promotes these to f32 with a T(1,128) layout and
+    runs ~10x slower (honest chain-slope profile, docs/latency.md);
+    the shift form fuses into neighbouring elementwise ops instead.
+    """
+    k = kernel.astype(x.dtype)
+    H, W = x.shape[-3], x.shape[-2]
+    oh = -(-H // stride)
+    ow = -(-W // stride)
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    out = None
+    for ky in range(3):
+        for kx in range(3):
+            y0, x0 = ky * d, kx * d
+            sl = xp[:, y0:y0 + (oh - 1) * stride + 1:stride,
+                    x0:x0 + (ow - 1) * stride + 1:stride, :]
+            term = sl * k[ky, kx, 0]
+            out = term if out is None else out + term
+    return out
+
+
 def _embed_dilated(kernel, d: int, size: int):
     """Zero-embed a (3,3,1,n) depthwise kernel with dilation ``d`` into a
     dense (size,size,1,n) kernel (dilated conv == dense conv with zeros)."""
@@ -121,6 +147,10 @@ class SESP(nn.Module):
     spaspp: bool = False
     sespv2: bool = True
     fuse_branches: bool = False
+    # 'shift' (default): 9 shifted multiply-adds, ~10x faster than XLA's
+    # TPU grouped-conv lowering at these channel counts (see _dw_shift);
+    # 'conv': the feature_group_count formulation (same parameters/math).
+    dw_impl: str = 'shift'
 
     def _fused_dw(self, x, kernels, rates, stride, extra_dil=0):
         """One depthwise conv over k-tiled channels; returns list of branch
@@ -182,26 +212,25 @@ class SESP(nn.Module):
             v2s = [self.param(f'spp_dw_v2_{i}', kaiming_init, (3, 3, 1, n),
                               jnp.float32) for i in range(self.k)] \
                 if self.sespv2 else None
-            # reference-shaped path: one conv per branch
-            branches = []
-            for i, d in enumerate(rates):
-                b = jax.lax.conv_general_dilated(
-                    reduced, kerns[i].astype(reduced.dtype),
-                    (self.stride, self.stride), ((d, d), (d, d)),
-                    rhs_dilation=(d, d),
+            # reference-shaped path: one (shift-)conv per branch
+            def dw(inp, kern, d, stride=1):
+                if self.dw_impl == 'shift':
+                    return _dw_shift(inp, kern, d, stride)
+                return jax.lax.conv_general_dilated(
+                    inp, kern.astype(inp.dtype), (stride, stride),
+                    ((d, d), (d, d)), rhs_dilation=(d, d),
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                     feature_group_count=n)
+
+            branches = []
+            for i, d in enumerate(rates):
+                b = dw(reduced, kerns[i], d, self.stride)
                 if branches:
                     b = b + branches[-1]
                 branches.append(b)
             if self.sespv2:
-                branches = [jax.lax.conv_general_dilated(
-                    b, v2s[i].astype(b.dtype), (1, 1),
-                    ((d + 1, d + 1), (d + 1, d + 1)),
-                    rhs_dilation=(d + 1, d + 1),
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                    feature_group_count=n)
-                    for i, (b, d) in enumerate(zip(branches, rates))]
+                branches = [dw(b, v2s[i], d + 1)
+                            for i, (b, d) in enumerate(zip(branches, rates))]
 
         merged = jnp.concatenate(branches, axis=-1)
         merged = Norm2d(dict(type='BN'), name='br_after_cat_norm')(merged, train=train)
@@ -230,6 +259,7 @@ class ESPDownSampler(nn.Module):
     k: int = 4
     r_lim: int = 9
     spatial: bool = False
+    dw_impl: str = 'shift'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -238,7 +268,8 @@ class ESPDownSampler(nn.Module):
         avg_out = avg_pool2d(x, 3, 2, 1)
         esp_out = SESP(self.in_channels, new_channels, stride=2, k=self.k,
                        r_lim=self.r_lim, down_method='avg',
-                       spatial=self.spatial, name='eesp')(x, train=train)
+                       spatial=self.spatial, dw_impl=self.dw_impl,
+                       name='eesp')(x, train=train)
         out = jnp.concatenate([avg_out, esp_out], axis=-1)
         return PReLU(self.out_channels, name='act')(out)
 
@@ -256,16 +287,20 @@ class CESPB(nn.Module):
     num_blocks: int = 1
     k: int = 4
     spatial: bool = True
+    dw_impl: str = 'shift'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.stride == 2:
             x = ESPDownSampler(self.in_channels, self.out_channels, k=self.k,
-                               spatial=self.spatial, name='down')(x, train=train)
+                               spatial=self.spatial, dw_impl=self.dw_impl,
+                               name='down')(x, train=train)
         else:
             x = SESP(self.in_channels, self.out_channels, k=self.k,
-                     spatial=self.spatial, name='block0')(x, train=train)
+                     spatial=self.spatial, dw_impl=self.dw_impl,
+                     name='block0')(x, train=train)
         for i in range(1, self.num_blocks):
             x = SESP(self.out_channels, self.out_channels, k=self.k,
-                     spatial=self.spatial, name=f'block{i}')(x, train=train)
+                     spatial=self.spatial, dw_impl=self.dw_impl,
+                     name=f'block{i}')(x, train=train)
         return x

@@ -70,18 +70,26 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
     if (in_h, in_w) == (out_h, out_w):
         return x
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    # bf16 inputs interpolate in bf16: the exponent range matches f32 so
+    # the lerp cannot overflow, the 2-tap blend loses <1 ulp(bf16), and at
+    # the predict path's largest tensors (e.g. 720x1280x19 logits) f32
+    # intermediates would DOUBLE the HBM traffic of what is a purely
+    # bandwidth-bound op (measured on-chip: the f32 resize chain dominated
+    # the bs=1 tail; see docs/latency.md).  Everything else (f32 parity
+    # paths, integer inputs) keeps exact f32 compute.
+    cdt = jnp.bfloat16 if orig_dtype == jnp.bfloat16 else jnp.float32
+    xf = x.astype(cdt)
 
     if in_h != out_h:
         y0, y1, wy = _linear_coords(out_h, in_h, align_corners, scale_factor)
         top = jnp.take(xf, jnp.asarray(y0), axis=-3)
         bot = jnp.take(xf, jnp.asarray(y1), axis=-3)
-        xf = top + (bot - top) * jnp.asarray(wy)[:, None, None]
+        xf = top + (bot - top) * jnp.asarray(wy, cdt)[:, None, None]
     if in_w != out_w:
         x0, x1, wx = _linear_coords(out_w, in_w, align_corners, scale_factor)
         left = jnp.take(xf, jnp.asarray(x0), axis=-2)
         right = jnp.take(xf, jnp.asarray(x1), axis=-2)
-        xf = left + (right - left) * jnp.asarray(wx)[:, None]
+        xf = left + (right - left) * jnp.asarray(wx, cdt)[:, None]
     return xf.astype(orig_dtype)
 
 
