@@ -16,6 +16,26 @@ import jax.numpy as jnp
 from lednet_tpu.registry import MODELS
 
 
+def take_class(values: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """``values[..., C]`` selected at integer ``labels[...]`` -> ``(...)``.
+
+    TPU-native replacement for ``jnp.take_along_axis``: XLA lowers that
+    gather to a near-serial loop (measured 30.6 ms for one (8,512,512,2)
+    map on v5e — it alone made the train step 123 ms slower); the one-hot
+    multiply-sum is pure VPU work at O(C) per pixel. Out-of-range labels
+    select 0 (all-zero one-hot row).
+    """
+    oh = jax.nn.one_hot(labels, values.shape[-1], dtype=values.dtype)
+    return jnp.sum(values * oh, axis=-1)
+
+
+def weight_at(table: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-class weight lookup ``table[labels]`` without a gather."""
+    table = jnp.asarray(table, jnp.float32)
+    return take_class(jnp.broadcast_to(table, labels.shape + table.shape),
+                      labels)
+
+
 def pixelwise_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                             ignore_index: int = 255,
                             class_weight: Optional[jnp.ndarray] = None):
@@ -24,10 +44,9 @@ def pixelwise_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -take_class(logp, safe_labels)
     if class_weight is not None:
-        w = jnp.asarray(class_weight, jnp.float32)[safe_labels]
-        nll = nll * w
+        nll = nll * weight_at(class_weight, safe_labels)
     return jnp.where(valid, nll, 0.0), valid
 
 
@@ -70,7 +89,7 @@ class CrossEntropyLoss:
         elif cw is not None:
             # torch weighted-CE mean: divide by the sum of per-pixel weights
             safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-            denom = jnp.sum(jnp.where(valid, cw[safe], 0.0))
+            denom = jnp.sum(jnp.where(valid, weight_at(cw, safe), 0.0))
         elif self.avg_non_ignore:
             denom = jnp.sum(valid)
         else:
@@ -163,7 +182,7 @@ class OhemCrossEntropy:
 
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-        p_gt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+        p_gt = take_class(probs, safe)
         p_flat = jnp.where(valid, p_gt, 2.0).reshape(-1)
 
         n_valid = jnp.sum(valid)

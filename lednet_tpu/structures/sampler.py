@@ -36,8 +36,9 @@ class OHEMPixelSampler:
         safe = jnp.where(valid, seg_label, 0)
 
         if self.thresh is not None:
+            from lednet_tpu.models.losses.cross_entropy import take_class
             probs = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
-            p_gt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+            p_gt = take_class(probs, safe)
             p_flat = jnp.where(valid, p_gt, 2.0).reshape(-1)
             sorted_p = jnp.sort(p_flat)
             n_valid = jnp.sum(valid)
@@ -46,8 +47,9 @@ class OHEMPixelSampler:
             threshold = jnp.maximum(min_threshold, self.thresh)
             keep = valid & (p_gt < threshold)
         else:
+            from lednet_tpu.models.losses.cross_entropy import take_class
             logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32), axis=-1)
-            losses = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            losses = -take_class(logp, safe)
             l_flat = jnp.where(valid, losses, -jnp.inf).reshape(-1)
             # rank by loss descending; keep the top batch_kept valid pixels
             order = jnp.argsort(-l_flat)
