@@ -150,7 +150,7 @@ class SESP(nn.Module):
     # 'shift' (default): 9 shifted multiply-adds, ~10x faster than XLA's
     # TPU grouped-conv lowering at these channel counts (see _dw_shift);
     # 'conv': the feature_group_count formulation (same parameters/math).
-    dw_impl: str = 'shift'
+    dw_impl: str = 'pallas'
 
     def _fused_dw(self, x, kernels, rates, stride, extra_dil=0):
         """One depthwise conv over k-tiled channels; returns list of branch
@@ -173,10 +173,69 @@ class SESP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax
         n = self.out_channels // self.k
         assert n * self.k == self.out_channels, \
             f'out_channels {self.out_channels} must divide k={self.k}'
         rates = _dilation_schedule(self.k, self.spatial, self.r_lim, self.spaspp)
+
+        from lednet_tpu.ops.pallas.sesp_pyramid import (bn_fold, dense_grouped,
+                                                        pyramid_fits,
+                                                        sesp_block)
+        # Fused path: TPU only (CPU tests and the multichip dryrun use the
+        # shift form; the custom call is not GSPMD-partitionable either).
+        use_fused = (self.dw_impl == 'pallas' and not train
+                     and not self.is_initializing()
+                     and not self.fuse_branches
+                     and jax.default_backend() == 'tpu'
+                     and pyramid_fits(x.shape[-3], x.shape[-2], n, self.k,
+                                      x.dtype.itemsize, stride=self.stride))
+        if use_fused:
+            # Whole-block fused kernel (eval only). The submodules below are
+            # not invoked; their parameters (created by the unfused path at
+            # init) are read off this module's scope and folded (eval BN ->
+            # affine; grouped 1x1 -> dense block-diagonal for the MXU).
+            kerns = [self.param(f'spp_dw{i}', kaiming_init, (3, 3, 1, n),
+                                jnp.float32) for i in range(self.k)]
+            v2s = [self.param(f'spp_dw_v2_{i}', kaiming_init, (3, 3, 1, n),
+                              jnp.float32) for i in range(self.k)] \
+                if self.sespv2 else None
+            P = lambda name: self.scope.get_variable('params', name)
+            S = lambda name: self.scope.get_variable('batch_stats', name)
+            pr, sr = P('proj_1x1'), S('proj_1x1')
+            s1, b1 = bn_fold(pr['norm']['bn']['scale'],
+                             pr['norm']['bn']['bias'],
+                             sr['norm']['bn']['mean'], sr['norm']['bn']['var'])
+            wred = dense_grouped(pr['conv']['kernel'], self.k) * s1[None]
+            pn, sn = P('br_after_cat_norm'), S('br_after_cat_norm')
+            s2, b2 = bn_fold(pn['bn']['scale'], pn['bn']['bias'],
+                             sn['bn']['mean'], sn['bn']['var'])
+            pe, se = P('conv_1x1_exp'), S('conv_1x1_exp')
+            s3, b3 = bn_fold(pe['norm']['bn']['scale'],
+                             pe['norm']['bn']['bias'],
+                             se['norm']['bn']['mean'], se['norm']['bn']['var'])
+            wexp = dense_grouped(pe['conv']['kernel'], self.k) * s3[None]
+            if self.stride == 2:
+                tail = 'plain'
+            elif self.in_channels == self.out_channels:
+                tail = 'residual'
+            else:
+                tail = 'act'
+            a3 = (P('module_act')['alpha'] if tail != 'plain'
+                  else jnp.zeros((self.out_channels,), jnp.float32))
+            dw1 = jnp.stack([k_[..., 0, :] for k_ in kerns])
+            dw2 = (jnp.stack([k_[..., 0, :] for k_ in v2s])
+                   if self.sespv2 else None)
+            out = sesp_block(
+                x, wred.astype(x.dtype), b1, P('proj_1x1')['act']['alpha'],
+                dw1, dw2, s2, b2, P('br_after_cat_act')['alpha'],
+                wexp.astype(x.dtype), b3, a3,
+                rates=tuple(rates), stride=self.stride, tail=tail,
+                exact=(x.dtype == jnp.float32))
+            if self.stride == 2 and not self.spatial \
+                    and self.down_method != 'avg':
+                out = out + avg_pool2d(x, 3, 2, 1)
+            return out
 
         reduced = _CBR(self.in_channels, n, 1, groups=self.k,
                        name='proj_1x1')(x, train=train)
@@ -212,15 +271,16 @@ class SESP(nn.Module):
             v2s = [self.param(f'spp_dw_v2_{i}', kaiming_init, (3, 3, 1, n),
                               jnp.float32) for i in range(self.k)] \
                 if self.sespv2 else None
+
             # reference-shaped path: one (shift-)conv per branch
             def dw(inp, kern, d, stride=1):
-                if self.dw_impl == 'shift':
-                    return _dw_shift(inp, kern, d, stride)
-                return jax.lax.conv_general_dilated(
-                    inp, kern.astype(inp.dtype), (stride, stride),
-                    ((d, d), (d, d)), rhs_dilation=(d, d),
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                    feature_group_count=n)
+                if self.dw_impl == 'conv':
+                    return jax.lax.conv_general_dilated(
+                        inp, kern.astype(inp.dtype), (stride, stride),
+                        ((d, d), (d, d)), rhs_dilation=(d, d),
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        feature_group_count=n)
+                return _dw_shift(inp, kern, d, stride)
 
             branches = []
             for i, d in enumerate(rates):
@@ -259,7 +319,7 @@ class ESPDownSampler(nn.Module):
     k: int = 4
     r_lim: int = 9
     spatial: bool = False
-    dw_impl: str = 'shift'
+    dw_impl: str = 'pallas'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -287,7 +347,7 @@ class CESPB(nn.Module):
     num_blocks: int = 1
     k: int = 4
     spatial: bool = True
-    dw_impl: str = 'shift'
+    dw_impl: str = 'pallas'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
