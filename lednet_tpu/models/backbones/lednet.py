@@ -61,7 +61,49 @@ class LEDNet(nn.Module):
     stem_blocks: int = 2
     stem_blocks_c2: int = 0
     mlp_ratio: float = 2.0
+    # 's2d' (default): at eval, run stem_conv1/stem_conv2 as their exact
+    # space-to-depth reparameterization (BN running stats folded in) — the
+    # 3- and 32-channel strided convs starve the 128-lane MXU and cost
+    # 1.75 ms of the 6.8 ms 720p forward as plain convs (docs/latency.md);
+    # packed they are ~8x faster.  'conv' keeps the plain lowering.
+    stem_impl: str = 's2d'
     init_cfg: Optional[Dict] = None
+
+    def _stem_s2d(self, x):
+        """Eval-only fused stem front: identical math to
+        stem_conv1 -> stem_conv2 (BN folded from running stats), computed as
+        space-to-depth-packed MXU convs.  Returns (x1 as Packed2x2, x2) —
+        the LEDHead computes head_x1 on the packed layout directly, so the
+        (B, H/2, W/2, c) map is never materialized."""
+        from lednet_tpu.ops.pallas.sesp_pyramid import bn_fold
+        from lednet_tpu.ops.s2d import (Packed2x2, pack_s2_conv_weights,
+                                        s2_conv_packed, space_to_depth)
+        P = lambda name: self.scope.get_variable('params', name)
+        S = lambda name: self.scope.get_variable('batch_stats', name)
+
+        def folded(name):
+            p, s = P(name), S(name)
+            sc, bi = bn_fold(p['norm']['bn']['scale'], p['norm']['bn']['bias'],
+                             s['norm']['bn']['mean'], s['norm']['bn']['var'])
+            return p['conv']['kernel'], sc, bi
+
+        w1, s1, b1 = folded('stem_conv1')
+        w2, s2, b2 = folded('stem_conv2')
+        dt = x.dtype
+        # conv1: 4x4-packed input -> 2x2-packed 32ch @1/2 (+BN fold +ReLU).
+        # (A composed single (8,8,3,4c)/s4 conv avoiding the explicit s2d
+        # was A/B'd in-context: XLA fuses the f32->bf16 convert into it and
+        # emits a 1.3 ms elementwise loop — measurably worse. The explicit
+        # transpose, while itself far from roofline, is the better XLA
+        # lowering; see docs/latency.md.)
+        wb1 = pack_s2_conv_weights((w1 * s1[None, None, None]).astype(dt), 2)
+        h = s2_conv_packed(space_to_depth(x, 4), wb1)
+        h = nn.relu(h + jnp.tile(b1, 4).astype(dt))
+        x1 = Packed2x2(h)                                          # c @ 1/2
+        # conv2 consumes the packed form directly: 2x2 kernel, 128->32
+        wb2 = pack_s2_conv_weights((w2 * s2[None, None, None]).astype(dt), 1)
+        x2 = nn.relu(s2_conv_packed(h, wb2) + b2.astype(dt))       # c @ 1/4
+        return x1, x2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,17 +113,52 @@ class LEDNet(nn.Module):
         out_size = (-(-x.shape[-3] // 8), -(-x.shape[-2] // 8))  # ceil, fork's sizing
 
         # ---- stem (to 1/8) with the x1/x2 taps ---------------------------
-        x1 = ConvModule(self.in_channels, c, 3, stride=2, padding=1,
-                        norm_cfg=norm_cfg, act_cfg=act_cfg,
-                        name='stem_conv1')(x, train=train)          # c @ 1/2
-        x2 = ConvModule(c, c, 3, stride=2, padding=1, norm_cfg=norm_cfg,
-                        act_cfg=act_cfg, name='stem_conv2')(x1, train=train)  # c @ 1/4
-        h = x2
-        for i in range(self.stem_blocks):
-            h = BasicBlock(c, c, norm_cfg=norm_cfg,
-                           act_out=(i < self.stem_blocks - 1),
-                           name=f'stem_block{i + 1}')(h, train=train)
-        h = nn.relu(h)
+        _ncfg = self.norm_cfg or dict(type='BN')
+        use_s2d = (self.stem_impl == 's2d' and not train
+                   and not self.is_initializing()
+                   and _ncfg.get('type', 'BN') in ('BN', 'SyncBN', 'BN2d')
+                   and _ncfg.get('eps', 1e-5) == 1e-5
+                   and act_cfg.get('type') == 'ReLU'
+                   and x.shape[-3] % 4 == 0 and x.shape[-2] % 4 == 0)
+        if use_s2d:
+            x1, x2 = self._stem_s2d(x)
+        else:
+            x1 = ConvModule(self.in_channels, c, 3, stride=2, padding=1,
+                            norm_cfg=norm_cfg, act_cfg=act_cfg,
+                            name='stem_conv1')(x, train=train)      # c @ 1/2
+            x2 = ConvModule(c, c, 3, stride=2, padding=1, norm_cfg=norm_cfg,
+                            act_cfg=act_cfg,
+                            name='stem_conv2')(x1, train=train)     # c @ 1/4
+        import jax as _jax
+        from lednet_tpu.ops.pallas.conv_block import basic_pair, pair_fits
+        use_pair = (use_s2d and self.stem_blocks == 2
+                    and _jax.default_backend() == 'tpu'
+                    and pair_fits(x2.shape[-3], x2.shape[-2], c))
+        if use_pair:
+            # Fused eval kernel for the two 1/4-scale BasicBlocks + trailing
+            # ReLU (XLA runs these 32-channel convs at 25% lane utilization:
+            # ~800 us of the 720p forward, docs/latency.md).
+            from lednet_tpu.ops.pallas.sesp_pyramid import bn_fold
+            P = lambda n_: self.scope.get_variable('params', n_)
+            S = lambda n_: self.scope.get_variable('batch_stats', n_)
+            ws, bs = [], []
+            for blk in ('stem_block1', 'stem_block2'):
+                for cv in ('conv1', 'conv2'):
+                    p, s = P(blk)[cv], S(blk)[cv]
+                    sc, bi = bn_fold(p['norm']['bn']['scale'],
+                                     p['norm']['bn']['bias'],
+                                     s['norm']['bn']['mean'],
+                                     s['norm']['bn']['var'])
+                    ws.append(p['conv']['kernel'] * sc[None, None, None])
+                    bs.append(bi)
+            h = basic_pair(x2, ws, bs)
+        else:
+            h = x2
+            for i in range(self.stem_blocks):
+                h = BasicBlock(c, c, norm_cfg=norm_cfg,
+                               act_out=(i < self.stem_blocks - 1),
+                               name=f'stem_block{i + 1}')(h, train=train)
+            h = nn.relu(h)
         h = BasicBlock(c, 2 * c, stride=2, downsample=True, norm_cfg=norm_cfg,
                        act_out=(self.stem_blocks_c2 > 0),
                        name='stem_block3')(h, train=train)

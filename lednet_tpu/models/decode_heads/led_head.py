@@ -103,8 +103,21 @@ class LEDHead(nn.Module):
                         self.act_cfg, name='head')(c5_feat, train=train)
         x_c = ClsSeg(self.channels, out_ch, self.dropout_ratio,
                      name='cls')(x_c, train=train)
-        head_x1 = _BaseHead(x1.shape[-1], out_ch, self.norm_cfg, self.act_cfg,
-                            name='head_x1')(x1, train=train)
+        from lednet_tpu.ops.s2d import Packed2x2
+        if isinstance(x1, Packed2x2) and not self.is_initializing():
+            # x1 arrives 2x2 space-to-depth packed from LEDNet's s2d stem
+            # (eval only).  head_x1 (BN -> ReLU -> 3x3 conv -> BN -> ReLU)
+            # is computed on the packed layout: channelwise BN/ReLU tile 4x,
+            # the 32->num_classes conv (lane-starved as a plain conv: 975 us
+            # of the 720p forward incl. its layout copies, docs/latency.md)
+            # becomes a 128-lane packed conv; unpacking happens on the tiny
+            # num_classes-channel result.
+            head_x1 = self._base_head_packed('head_x1', x1)
+        else:
+            if isinstance(x1, Packed2x2):
+                x1 = x1.unpack()
+            head_x1 = _BaseHead(x1.shape[-1], out_ch, self.norm_cfg,
+                                self.act_cfg, name='head_x1')(x1, train=train)
         head_x2 = _BaseHead(x2.shape[-1], out_ch, self.norm_cfg, self.act_cfg,
                             name='head_x2')(x2, train=train)
 
@@ -115,6 +128,34 @@ class LEDHead(nn.Module):
                           name='aux_cls_seg')(x_s)
             return x_c, x_s, head_x1, head_x2
         return x_c, head_x1, head_x2
+
+    def _base_head_packed(self, name: str, x1):
+        """Eval-only _BaseHead on a 2x2-packed feature (exact reparam).
+
+        Reads the params the unfused path created at init; BN runs off
+        running stats (folded to per-channel affine, tiled over the 4 packed
+        positions); the 3x3 conv becomes its
+        :func:`lednet_tpu.ops.s2d.pack_s1_conv2d_weights` form."""
+        from lednet_tpu.ops.pallas.sesp_pyramid import bn_fold
+        from lednet_tpu.ops.s2d import (depth_to_space,
+                                        pack_s1_conv2d_weights,
+                                        s1_conv2d_packed)
+        p = self.scope.get_variable('params', name)
+        s = self.scope.get_variable('batch_stats', name)
+        h = x1.data
+        dt = h.dtype
+
+        def affine(pn, sn, arr, tile):
+            sc, bi = bn_fold(pn['bn']['scale'], pn['bn']['bias'],
+                             sn['bn']['mean'], sn['bn']['var'])
+            return arr * jnp.tile(sc, tile).astype(dt) + \
+                jnp.tile(bi, tile).astype(dt)
+
+        h = nn.relu(affine(p['conv']['norm'], s['conv']['norm'], h, 4))
+        wb = pack_s1_conv2d_weights(p['conv']['conv']['kernel'].astype(dt), 2)
+        h = s1_conv2d_packed(h, wb)
+        h = nn.relu(affine(p['norm'], s['norm'], h, 4))
+        return depth_to_space(h, 2)
 
     # ---- pure loss/predict functions (no params) -------------------------
     def _refine(self, logit, head_x1, head_x2, size):
