@@ -97,12 +97,31 @@ class LEDNet(nn.Module):
         # transpose, while itself far from roofline, is the better XLA
         # lowering; see docs/latency.md.)
         wb1 = pack_s2_conv_weights((w1 * s1[None, None, None]).astype(dt), 2)
-        h = s2_conv_packed(space_to_depth(x, 4), wb1)
-        h = nn.relu(h + jnp.tile(b1, 4).astype(dt))
-        x1 = Packed2x2(h)                                          # c @ 1/2
-        # conv2 consumes the packed form directly: 2x2 kernel, 128->32
         wb2 = pack_s2_conv_weights((w2 * s2[None, None, None]).astype(dt), 1)
-        x2 = nn.relu(s2_conv_packed(h, wb2) + b2.astype(dt))       # c @ 1/4
+        import jax as _jax
+        from lednet_tpu.ops.pallas.s2d_input import (normalize_s2d,
+                                                     s2d_input_fits)
+        from lednet_tpu.ops.pallas.stem_conv import (stem_convs_fit,
+                                                     stem_convs_packed)
+        H, W, Cin = x.shape[-3], x.shape[-2], x.shape[-1]
+        on_tpu = dt == jnp.bfloat16 and _jax.default_backend() == 'tpu'
+        if on_tpu and s2d_input_fits(H, W, Cin):
+            # fused Pallas cast+s2d: the XLA relayout chain costs ~1.1 ms
+            # at 720p vs 72 us for the kernel (bit-identical output)
+            xp = normalize_s2d(x)
+        else:
+            xp = space_to_depth(x, 4)
+        b1t = jnp.tile(b1, 4)[None].astype(jnp.float32)
+        if on_tpu and stem_convs_fit(H // 4, W // 4, xp.shape[-1],
+                                     wb1.shape[-1]):
+            # both packed stem convs + bias + ReLU in one VMEM pass
+            h, x2 = stem_convs_packed(xp, wb1, b1t, wb2,
+                                      b2[None].astype(jnp.float32))
+        else:
+            h = s2_conv_packed(xp, wb1)
+            h = nn.relu(h + jnp.tile(b1, 4).astype(dt))
+            x2 = nn.relu(s2_conv_packed(h, wb2) + b2.astype(dt))   # c @ 1/4
+        x1 = Packed2x2(h)                                          # c @ 1/2
         return x1, x2
 
     @nn.compact

@@ -31,7 +31,13 @@ class SegDataPreProcessor:
                  batch_augments=None,
                  test_cfg: Optional[Dict] = None,
                  non_blocking: bool = False,
+                 out_dtype=None,
                  type: Optional[str] = None):
+        # out_dtype (e.g. jnp.bfloat16): emit images in this dtype so XLA
+        # fuses the cast into the normalize pass — a separate
+        # convert_element_type of a 720p image costs ~360 us of layout
+        # copies on v5e (docs/latency.md)
+        self.out_dtype = out_dtype
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.std = None if std is None else np.asarray(std, np.float32)
         self.size = tuple(size) if size is not None else None
@@ -68,6 +74,8 @@ class SegDataPreProcessor:
             x = x[..., ::-1]
         if self.mean is not None:
             x = (x - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        if self.out_dtype is not None:
+            x = x.astype(self.out_dtype)
         h, w = x.shape[-3], x.shape[-2]
         th, tw = self._target_size(h, w, training)
         pad_h, pad_w = th - h, tw - w

@@ -65,7 +65,8 @@ def build_predict(H, W, num_classes=2, channels=32):
                          num_classes=num_classes, align_corners=False),
         test_cfg=dict(mode='whole')))
     pre = SegDataPreProcessor(mean=[123.675, 116.28, 103.53],
-                              std=[58.395, 57.12, 57.375], bgr_to_rgb=True)
+                              std=[58.395, 57.12, 57.375], bgr_to_rgb=True,
+                              out_dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
     params = cast_floating(variables['params'], jnp.bfloat16)
@@ -73,7 +74,6 @@ def build_predict(H, W, num_classes=2, channels=32):
 
     def predict(params, batch_stats, img):
         img, _, _ = pre(img, None, training=False)
-        img = img.astype(jnp.bfloat16)
         return model.apply({'params': params, 'batch_stats': batch_stats},
                            img, method='predict')
 
