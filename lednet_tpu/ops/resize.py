@@ -80,6 +80,28 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
     cdt = jnp.bfloat16 if orig_dtype == jnp.bfloat16 else jnp.float32
     xf = x.astype(cdt)
 
+    # Exact gather-free fast path for the dominant 2x upsample (the logit
+    # pyramid and the dual-branch compression resizes are all 2x): the
+    # half-pixel 2x taps are (i-1, i | 0.75) for even and (i, i+1 | 0.25)
+    # for odd outputs, so both operand stacks are edge-clamped SHIFTS of
+    # the input — same formula/operands as the gather form (values
+    # identical), but XLA emits fused slices instead of a serial gather
+    # (~90 us/gather at 720p-scale maps, docs/latency.md).
+    # The W-axis interleave writes at granularity 2*C, so it only beats the
+    # gather when that is a whole lane tile; the H-axis interleave moves
+    # full rows and always wins.
+    half_pixel_2x = not align_corners and scale_factor in (None, 2, 2.0)
+    if half_pixel_2x and out_h == 2 * in_h and (
+            out_w == in_w or out_w == 2 * in_w):
+        xf = _up2_axis(xf, -3, cdt)
+        in_h = out_h
+    if half_pixel_2x and out_w == 2 * in_w and in_h == out_h \
+            and x.shape[-1] % 64 == 0:
+        xf = _up2_axis(xf, -2, cdt)
+        in_w = out_w
+    if (in_h, in_w) == (out_h, out_w):
+        return xf.astype(orig_dtype)
+
     if in_h != out_h:
         y0, y1, wy = _linear_coords(out_h, in_h, align_corners, scale_factor)
         top = jnp.take(xf, jnp.asarray(y0), axis=-3)
@@ -91,6 +113,36 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
         right = jnp.take(xf, jnp.asarray(x1), axis=-2)
         xf = left + (right - left) * jnp.asarray(wx, cdt)[:, None]
     return xf.astype(orig_dtype)
+
+
+def _up2_axis(x: jnp.ndarray, axis: int, cdt) -> jnp.ndarray:
+    """Exact half-pixel (align_corners=False) 2x upsample along ``axis``
+    via edge-clamped shifts + interleave; operands and weights match the
+    gather formulation element for element."""
+    n = x.shape[axis]
+    ax = axis % x.ndim
+    sl_lo = tuple(slice(None) if d != ax else slice(0, n - 1)
+                  for d in range(x.ndim))
+    sl_hi = tuple(slice(None) if d != ax else slice(1, n)
+                  for d in range(x.ndim))
+    first = tuple(slice(None) if d != ax else slice(0, 1)
+                  for d in range(x.ndim))
+    last = tuple(slice(None) if d != ax else slice(n - 1, n)
+                 for d in range(x.ndim))
+    prev = jnp.concatenate([x[first], x[sl_lo]], axis=ax)   # in[i-1] clamped
+    nxt = jnp.concatenate([x[sl_hi], x[last]], axis=ax)     # in[i+1] clamped
+    # even outputs: top=in[i-1], bot=in[i], frac=0.75 (0 at i=0)
+    we_shape = [1] * x.ndim
+    we_shape[ax] = n
+    we = jnp.full((n,), 0.75, cdt).at[0].set(0.0).reshape(we_shape)
+    even = prev + (x - prev) * we
+    # odd outputs: top=in[i], bot=in[i+1], frac=0.25 (idx1 clamped at end
+    # makes the last odd output exactly in[n-1] regardless of the weight)
+    odd = x + (nxt - x) * jnp.asarray(0.25, cdt)
+    out = jnp.stack([even, odd], axis=ax + 1)
+    shape = list(x.shape)
+    shape[ax] = 2 * n
+    return out.reshape(shape)
 
 
 def _cubic_weights(out_size: int, in_size: int, align_corners: bool,
