@@ -87,9 +87,15 @@ class LEDNet(nn.Module):
                              s['norm']['bn']['mean'], s['norm']['bn']['var'])
             return p['conv']['kernel'], sc, bi
 
+        from lednet_tpu.ops.s2d import Packed4x4
+        pre_packed = isinstance(x, Packed4x4)
         w1, s1, b1 = folded('stem_conv1')
         w2, s2, b2 = folded('stem_conv2')
-        dt = x.dtype
+        if pre_packed and x.bgr:
+            # the preprocessor left the packed channels in file (BGR)
+            # order; fold the flip into conv1's input-channel axis
+            w1 = w1[:, :, ::-1, :]
+        dt = x.data.dtype if pre_packed else x.dtype
         # conv1: 4x4-packed input -> 2x2-packed 32ch @1/2 (+BN fold +ReLU).
         # (A composed single (8,8,3,4c)/s4 conv avoiding the explicit s2d
         # was A/B'd in-context: XLA fuses the f32->bf16 convert into it and
@@ -103,14 +109,18 @@ class LEDNet(nn.Module):
                                                      s2d_input_fits)
         from lednet_tpu.ops.pallas.stem_conv import (stem_convs_fit,
                                                      stem_convs_packed)
-        H, W, Cin = x.shape[-3], x.shape[-2], x.shape[-1]
         on_tpu = dt == jnp.bfloat16 and _jax.default_backend() == 'tpu'
-        if on_tpu and s2d_input_fits(H, W, Cin):
-            # fused Pallas cast+s2d: the XLA relayout chain costs ~1.1 ms
-            # at 720p vs 72 us for the kernel (bit-identical output)
-            xp = normalize_s2d(x)
+        if pre_packed:
+            xp = x.data
+            H, W = 4 * xp.shape[-3], 4 * xp.shape[-2]
         else:
-            xp = space_to_depth(x, 4)
+            H, W, Cin = x.shape[-3], x.shape[-2], x.shape[-1]
+            if on_tpu and s2d_input_fits(H, W, Cin):
+                # fused Pallas cast+s2d: the XLA relayout chain costs
+                # ~1.1 ms at 720p vs 72 us for the kernel (bit-identical)
+                xp = normalize_s2d(x)
+            else:
+                xp = space_to_depth(x, 4)
         b1t = jnp.tile(b1, 4)[None].astype(jnp.float32)
         if on_tpu and stem_convs_fit(H // 4, W // 4, xp.shape[-1],
                                      wb1.shape[-1]):
@@ -126,10 +136,14 @@ class LEDNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from lednet_tpu.ops.s2d import Packed4x4
         c = self.channels
         norm_cfg = self.norm_cfg or dict(type='BN')
         act_cfg = self.act_cfg or dict(type='ReLU')
-        out_size = (-(-x.shape[-3] // 8), -(-x.shape[-2] // 8))  # ceil, fork's sizing
+        packed_in = isinstance(x, Packed4x4)
+        in_h = 4 * x.data.shape[-3] if packed_in else x.shape[-3]
+        in_w = 4 * x.data.shape[-2] if packed_in else x.shape[-2]
+        out_size = (-(-in_h // 8), -(-in_w // 8))    # ceil, fork's sizing
 
         # ---- stem (to 1/8) with the x1/x2 taps ---------------------------
         _ncfg = self.norm_cfg or dict(type='BN')
@@ -138,7 +152,10 @@ class LEDNet(nn.Module):
                    and _ncfg.get('type', 'BN') in ('BN', 'SyncBN', 'BN2d')
                    and _ncfg.get('eps', 1e-5) == 1e-5
                    and act_cfg.get('type') == 'ReLU'
-                   and x.shape[-3] % 4 == 0 and x.shape[-2] % 4 == 0)
+                   and in_h % 4 == 0 and in_w % 4 == 0)
+        if packed_in and not use_s2d:
+            x = x.unpack()
+            packed_in = False
         if use_s2d:
             x1, x2 = self._stem_s2d(x)
         else:

@@ -32,12 +32,19 @@ class SegDataPreProcessor:
                  test_cfg: Optional[Dict] = None,
                  non_blocking: bool = False,
                  out_dtype=None,
+                 pack_s2d: bool = False,
                  type: Optional[str] = None):
         # out_dtype (e.g. jnp.bfloat16): emit images in this dtype so XLA
         # fuses the cast into the normalize pass — a separate
         # convert_element_type of a 720p image costs ~360 us of layout
         # copies on v5e (docs/latency.md)
         self.out_dtype = out_dtype
+        # pack_s2d: eval-only fused normalize+cast+4x4-space-to-depth
+        # Pallas kernel emitting a Packed4x4 (BGR channel order preserved;
+        # the consumer folds the flip into its first conv weights).  Used
+        # by backbones with an s2d stem (LEDNet); whole-mode inference
+        # only.  The unfused XLA chain costs ~1.5 ms at 720p.
+        self.pack_s2d = pack_s2d
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.std = None if std is None else np.asarray(std, np.float32)
         self.size = tuple(size) if size is not None else None
@@ -70,6 +77,21 @@ class SegDataPreProcessor:
         postprocessing can crop it back off.
         """
         x = jnp.asarray(inputs).astype(jnp.float32)
+        if not training and self.pack_s2d and self.mean is not None \
+                and seg_label is None:
+            import jax
+            from lednet_tpu.ops.pallas.s2d_input import (normalize_s2d,
+                                                         s2d_input_fits)
+            from lednet_tpu.ops.s2d import Packed4x4
+            h, w = x.shape[-3], x.shape[-2]
+            th, tw = self._target_size(h, w, training)
+            if (jax.default_backend() == 'tpu' and (th, tw) == (h, w)
+                    and s2d_input_fits(h, w, x.shape[-1])):
+                mean = self.mean[::-1] if self.channel_flip else self.mean
+                std = self.std[::-1] if self.channel_flip else self.std
+                packed = normalize_s2d(x, jnp.asarray(mean),
+                                       jnp.asarray(std))
+                return Packed4x4(packed, bgr=self.channel_flip), None, (0, 0)
         if self.channel_flip:
             x = x[..., ::-1]
         if self.mean is not None:

@@ -76,7 +76,11 @@ class SEAM(nn.Module):
         b2 = binarize(resize_nearest(b2, size))
         b4 = binarize(resize_nearest(b4, size))
 
-        fused = _FUSION[0] * b1 + _FUSION[1] * b2 + _FUSION[2] * b4
+        # python-float weights: numpy f32 scalars are strongly typed and
+        # would promote the whole tail (and, via the edge-attention
+        # multiply, the entire context branch) to f32 under bf16 inference
+        fused = (float(_FUSION[0]) * b1 + float(_FUSION[1]) * b2
+                 + float(_FUSION[2]) * b4)
         fused = binarize(fused)
 
         return ConvModule(1, self.channels, 3, padding=1,

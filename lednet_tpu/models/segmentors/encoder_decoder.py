@@ -82,9 +82,14 @@ class EncoderDecoder(nn.Module):
     # ---- inference -------------------------------------------------------
     def predict(self, inputs) -> jnp.ndarray:
         """Whole-image inference: logits at (padded) input resolution."""
+        from lednet_tpu.ops.s2d import Packed4x4
+        if isinstance(inputs, Packed4x4):    # preprocessor fused-pack path
+            size = (4 * inputs.data.shape[-3], 4 * inputs.data.shape[-2])
+        else:
+            size = inputs.shape[-3:-1]
         feats = self.extract_feat(inputs, train=False)
         logits = self._decode_head(feats, train=False, with_aux=False)
-        return self._decode_head.predict_by_feat(logits, inputs.shape[-3:-1])
+        return self._decode_head.predict_by_feat(logits, size)
 
     def predict_slide(self, inputs) -> jnp.ndarray:
         """Slide inference with a batched crop grid (one forward pass)."""

@@ -90,13 +90,15 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int] = None,
     # The W-axis interleave writes at granularity 2*C, so it only beats the
     # gather when that is a whole lane tile; the H-axis interleave moves
     # full rows and always wins.
-    half_pixel_2x = not align_corners and scale_factor in (None, 2, 2.0)
+    # ... and interleaves of narrow-channel maps (the 2/19-channel logit
+    # pyramid) lose to the gather on BOTH axes — measured in-context.
+    half_pixel_2x = (not align_corners and scale_factor in (None, 2, 2.0)
+                     and x.shape[-1] % 64 == 0)
     if half_pixel_2x and out_h == 2 * in_h and (
             out_w == in_w or out_w == 2 * in_w):
         xf = _up2_axis(xf, -3, cdt)
         in_h = out_h
-    if half_pixel_2x and out_w == 2 * in_w and in_h == out_h \
-            and x.shape[-1] % 64 == 0:
+    if half_pixel_2x and out_w == 2 * in_w and in_h == out_h:
         xf = _up2_axis(xf, -2, cdt)
         in_w = out_w
     if (in_h, in_w) == (out_h, out_w):

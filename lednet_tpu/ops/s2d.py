@@ -171,6 +171,23 @@ def s1_conv_packed(x_packed: jnp.ndarray, w_big: jnp.ndarray,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+class Packed4x4(NamedTuple):
+    """A 4x4 space-to-depth packed image (B, H/4, W/4, 16*C) as produced by
+    the preprocessor's fused pack path
+    (:func:`lednet_tpu.ops.pallas.s2d_input.normalize_s2d`).
+
+    ``bgr``: the packed channels are still in file (BGR) order — the
+    consumer folds the flip into its first conv's input-channel axis
+    (a pure weight permutation) instead of paying a data-movement flip.
+    """
+    data: jnp.ndarray
+    bgr: bool = False
+
+    def unpack(self) -> jnp.ndarray:
+        x = depth_to_space(self.data, 4)
+        return x[..., ::-1] if self.bgr else x
+
+
 class Packed2x2(NamedTuple):
     """A feature map carried in 2x2 space-to-depth form (B, H/2, W/2, 4*C).
 

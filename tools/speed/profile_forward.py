@@ -66,7 +66,7 @@ def build_predict(H, W, num_classes=2, channels=32):
         test_cfg=dict(mode='whole')))
     pre = SegDataPreProcessor(mean=[123.675, 116.28, 103.53],
                               std=[58.395, 57.12, 57.375], bgr_to_rgb=True,
-                              out_dtype=jnp.bfloat16)
+                              out_dtype=jnp.bfloat16, pack_s2d=True)
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
     params = cast_floating(variables['params'], jnp.bfloat16)
