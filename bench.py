@@ -1,18 +1,31 @@
 #!/usr/bin/env python
-"""Driver benchmark: the full BASELINE protocol on one chip.
+"""Driver benchmark: the BASELINE protocol on one chip, HONEST timing.
 
-Headline metric (the ``vs_baseline`` number) mirrors the reference
-``tools/analysis_tools/benchmark.py`` protocol — bs=1, 5 warmup, 200 timed
-iters, device-sync bracketed — at the paper's 1280x720 FPS setting
-(supplementary PDF Table 6; PyTorch RTX 3090 baseline 126.02 FPS).
+Every number here comes from the chained measurements in
+``lednet_tpu/utils/timing.py`` — on this stack ``block_until_ready``
+acknowledges DISPATCH, not completion, so classic per-iter sync brackets
+measure the tunnel's ack rate (round-3 finding; the r01/r02 BENCH numbers
+were invalidated by it).  Protocol per measurement:
 
-``extras`` records the rest of the BASELINE.md protocol (VERDICT #3):
-Cityscapes 1024x1024 whole-mode FPS, slide-mode FPS (1024x2048 frame,
-1024^2 crops, 768 stride), p50/p99 single-image latency, bs=8 batched
-throughput, train-step time at 512^2 bs=8, and mean±variance alongside
-best-of-reps (the reference reports mean+variance, ``benchmark.py:116-122``).
+- bs=1 / batched inference: ``chain_slope`` — K data-chained copies of the
+  forward inside one jitted program, hard-synced via ``device_get`` of a
+  scalar; the K-vs-K wall slope is pure device time (tunnel RTT cancels).
+- train steps: ``chained_steps`` — N naturally-chained steps + one final
+  ``device_get(loss)``.
+- a matmul sanity anchor runs first: if the measured TFLOP/s falls outside
+  the plausible band for the chip, the whole bench refuses to report
+  (guards against a future backend change re-breaking the clock).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Headline mirrors the reference ``tools/analysis_tools/benchmark.py:88-122``
+setting: LED-Net whole-mode 1280x720 bs=1 (supplementary PDF Table 6;
+PyTorch RTX 3090 baseline 126.02 FPS).  Extras cover the rest of
+BASELINE.md: Cityscapes 1024^2 whole + slide (1024x2048 frame), bs=8
+throughput, train-step at 512^2 bs=8 (SGD+poly+OHEM) and bs=32, bf16-AMP
+train variant, and the compiler-reported FLOPs/MFU at the headline point.
+
+Prints ONE JSON line. Runtime budget ~8 min (compiles dominate); the
+heavier rigs (loader e2e, serving, AMP-at-scale) are standalone tools
+whose recorded results live under docs/ (see README "Performance").
 """
 import json
 import time
@@ -21,34 +34,7 @@ import numpy as np
 
 BASELINE_FPS = 126.02  # reference PyTorch, RTX 3090, 1280x720
 PEAK_BF16_TFLOPS = 394.0  # TPU v5e chip peak (public spec)
-
-
-def _timed_loop(fn, args, warmup=5, iters=200, reps=3):
-    """Reference-semantics timing: per-iter device-sync brackets.
-
-    Returns dict with best/mean/var FPS over reps + per-iter latency
-    percentiles of the best rep.
-    """
-    import jax
-    fps_list, best_dts = [], None
-    for _ in range(reps):
-        dts = []
-        for i in range(warmup + iters):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            if i >= warmup:
-                dts.append(dt)
-        fps = iters / sum(dts)
-        fps_list.append(fps)
-        if best_dts is None or fps >= max(fps_list):
-            best_dts = dts
-    dts_ms = np.array(best_dts) * 1e3
-    return dict(best=max(fps_list), mean=float(np.mean(fps_list)),
-                var=float(np.var(fps_list)),
-                p50_ms=float(np.percentile(dts_ms, 50)),
-                p99_ms=float(np.percentile(dts_ms, 99)))
+ANCHOR_BAND_TFLOPS = (60.0, 500.0)  # plausible 4096^3 bf16 matmul range
 
 
 def main():
@@ -63,7 +49,30 @@ def main():
     from lednet_tpu.models.data_preprocessor import SegDataPreProcessor
     from lednet_tpu.registry import MODELS
     from lednet_tpu.utils.precision import cast_floating
+    from lednet_tpu.utils.timing import chain_slope, chained_steps
 
+    t_start = time.time()
+    extras = {}
+
+    # ---- 0) clock sanity anchor -------------------------------------
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    def mm(a, eps):
+        return jnp.sum((a + eps.astype(a.dtype)) @ a) * jnp.float32(1.0)
+
+    r = chain_slope(mm, (a,), k=(1, 9), reps=4)
+    anchor_tflops = 2 * n**3 / r['per_op_s'] / 1e12
+    extras['anchor_matmul_tflops'] = round(anchor_tflops, 1)
+    extras['intercept_ms'] = round(r['intercept_s'] * 1e3, 2)
+    if not (ANCHOR_BAND_TFLOPS[0] <= anchor_tflops <= ANCHOR_BAND_TFLOPS[1]):
+        print(json.dumps({
+            'metric': 'INVALID: timing anchor out of band',
+            'value': 0.0, 'unit': 'img/s', 'vs_baseline': 0.0,
+            'extras': extras}))
+        return
+
+    # ---- model -------------------------------------------------------
     model_cfg = dict(
         type='EncoderDecoder',
         backbone=dict(type='LEDNet', in_channels=3, channels=32,
@@ -75,221 +84,99 @@ def main():
                       stride=(768, 768)))
     model = MODELS.build(model_cfg)
     pre = SegDataPreProcessor(mean=[123.675, 116.28, 103.53],
-                              std=[58.395, 57.12, 57.375], bgr_to_rgb=True)
-
+                              std=[58.395, 57.12, 57.375], bgr_to_rgb=True,
+                              out_dtype=jnp.bfloat16, pack_s2d=True)
     x0 = jnp.zeros((1, 720, 1280, 3), jnp.float32)
     variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
     params = cast_floating(variables['params'], jnp.bfloat16)
     batch_stats = variables.get('batch_stats', {})
     rng = np.random.default_rng(0)
 
-    def predict(params, batch_stats, img):
-        img, _, _ = pre(img, None, training=False)
-        img = img.astype(jnp.bfloat16)
-        return model.apply({'params': params, 'batch_stats': batch_stats},
-                           img, method='predict')
+    def fwd(params, batch_stats, img, eps):
+        img2, _, _ = pre(img + eps, None, training=False)
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          img2, method='predict')
+        return jnp.sum(out.astype(jnp.float32))
 
-    def predict_argmax(params, batch_stats, img):
-        # VERDICT #4: keep the argmax on device — the returned buffer is
-        # HxW uint8 instead of HxWxC f32 logits
-        return jnp.argmax(predict(params, batch_stats, img),
-                          axis=-1).astype(jnp.uint8)
+    def fwd_slide(params, batch_stats, img, eps):
+        img2, _, _ = SegDataPreProcessor(
+            mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375],
+            bgr_to_rgb=True, out_dtype=jnp.bfloat16)(img + eps, None,
+                                                     training=False)
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          img2, method='predict_slide')
+        return jnp.sum(out.astype(jnp.float32))
 
-    def predict_slide(params, batch_stats, img):
-        img, _, _ = pre(img, None, training=False)
-        img = img.astype(jnp.bfloat16)
-        return model.apply({'params': params, 'batch_stats': batch_stats},
-                           img, method='predict_slide')
+    def measure_fwd(shape, k=(1, 3), reps=5, slide=False):
+        frame = jnp.asarray(
+            rng.integers(0, 255, shape, np.uint8), jnp.float32)
+        f = fwd_slide if slide else fwd
+        r = chain_slope(f, (params, batch_stats, frame), k=k, reps=reps)
+        per = r['per_op_s']
+        return dict(ms=round(per * 1e3, 3),
+                    img_per_s=round(shape[0] / per, 1))
 
-    step = jax.jit(predict)
-    step_argmax = jax.jit(predict_argmax)
-    step_slide = jax.jit(predict_slide)
-
-    extras = {}
-
-    # 0) dispatch floor: a trivial jitted op round-trip (VERDICT #4 asked
-    # for the bs=1 ceiling to be attacked or explained — this documents the
-    # host->chip tunnel RTT that bounds every bs=1 number below; when
-    # p50_ms here ~= the model's p50_ms, the model is dispatch-bound and
-    # the remaining headroom is in batching, not kernels)
-    tiny = jnp.zeros((128,), jnp.float32)
-    extras['dispatch_floor'] = _timed_loop(
-        jax.jit(lambda v: v + 1.0), (tiny,), reps=1)
-
-    # 1) headline: whole-mode 1280x720 bs=1 (paper Table 6 setting)
-    frame_720 = jnp.asarray(rng.integers(0, 255, (1, 720, 1280, 3), np.uint8))
-    r720 = _timed_loop(step, (params, batch_stats, frame_720))
+    # ---- 1) headline: whole 1280x720 bs=1 ---------------------------
+    r720 = measure_fwd((1, 720, 1280, 3))
     extras['whole_720p_bs1'] = r720
 
-    # effective FLOP rate + MFU at the headline point (device-scheduled count)
+    # MFU at the headline point (compiler-scheduled FLOPs)
     try:
-        comp = jax.jit(predict).lower(params, batch_stats, frame_720).compile()
+        frame = jnp.zeros((1, 720, 1280, 3), jnp.float32)
+        comp = jax.jit(lambda p, b, i: fwd(p, b, i, jnp.float32(0))) \
+            .lower(params, batch_stats, frame).compile()
         an = comp.cost_analysis()
         an = an[0] if isinstance(an, list) else an
         flops = float(an.get('flops', float('nan')))
         extras['flops_per_frame_G'] = round(flops / 1e9, 2)
         extras['mfu_pct'] = round(
-            100 * flops * r720['best'] / (PEAK_BF16_TFLOPS * 1e12), 3)
+            100 * flops / (r720['ms'] / 1e3) / (PEAK_BF16_TFLOPS * 1e12), 2)
     except Exception:
         pass
 
-    # 2) Cityscapes 1024x1024 whole-mode + single-image latency percentiles
-    frame_1k = jnp.asarray(rng.integers(0, 255, (1, 1024, 1024, 3), np.uint8))
-    extras['whole_1024_bs1'] = _timed_loop(step, (params, batch_stats,
-                                                  frame_1k))
-    extras['whole_1024_bs1_argmax'] = _timed_loop(
-        step_argmax, (params, batch_stats, frame_1k))
+    # ---- 2) Cityscapes 1024^2 whole ---------------------------------
+    # (slide 1024x2048 and bs=8 throughput run in the standalone
+    # tools/speed/full_protocol.py — their recorded results live in
+    # docs/full_protocol.json; the driver bench stays under its budget)
+    extras['whole_1024_bs1'] = measure_fwd((1, 1024, 1024, 3), k=(1, 2))
 
-    # 3) slide mode on a full Cityscapes frame (1024x2048; 1024^2/768 grid)
-    frame_cs = jnp.asarray(rng.integers(0, 255, (1, 1024, 2048, 3), np.uint8))
-    extras['slide_1024x2048_bs1'] = _timed_loop(
-        step_slide, (params, batch_stats, frame_cs), iters=100)
-
-    # 4) batched throughput at 1024^2
-    bs = 8
-    batch_1k = jnp.asarray(rng.integers(0, 255, (bs, 1024, 1024, 3), np.uint8))
-    rb = _timed_loop(step, (params, batch_stats, batch_1k), iters=50)
-    extras['whole_1024_bs8'] = {k: (v * bs if k in ('best', 'mean') else v)
-                                for k, v in rb.items()}
-
-    # 4b) the val LOOP, per-image vs shape-grouped batched (round-3: the
-    # runner now buckets same-shaped val images to val_batch_size and
-    # shards the batch axis over the mesh; this measures that loop
-    # structure end to end on resident arrays — jitted forward +
-    # postprocess (argmax) + IoUMetric histogram per image, 64 images at
-    # 1024^2 — isolating the loop-shape win from host PNG decode, which
-    # this 1-core host caps separately (see tools/speed/loader_speed.py)
-    from lednet_tpu.evaluation.iou_metric import IoUMetric
-    from lednet_tpu.models.segmentors.encoder_decoder import \
-        postprocess_logits
-    n_val = 64
-    val_labels = jnp.asarray(rng.integers(0, 2, (n_val, 1024, 1024),
-                                          np.int32))
-    val_imgs = jnp.asarray(rng.integers(0, 255, (n_val, 1024, 1024, 3),
-                                        np.uint8))
-
-    def _val_loop(chunk):
-        metric = IoUMetric()
-        t0 = time.perf_counter()
-        for i in range(0, n_val, chunk):
-            logits = step(params, batch_stats, val_imgs[i:i + chunk])
-            _, pred = postprocess_logits(logits, (0, 0))
-            metric.process(pred, val_labels[i:i + chunk], 2)
-        metric.compute_metrics()
-        return n_val / (time.perf_counter() - t0)
-
-    _val_loop(8)  # compile both chunk shapes
-    _val_loop(1)
-    per_image = max(_val_loop(1) for _ in range(3))
-    batched = max(_val_loop(8) for _ in range(3))
-    extras['val_loop_img_per_s'] = dict(
-        per_image=round(per_image, 1), batched_bs8=round(batched, 1),
-        speedup=round(batched / per_image, 2))
-
-    # 5) train-step time at 512^2 bs=8 (SGD+poly+OHEM, the 80k recipe)
+    # ---- 4) train step 512^2 bs=8 (SGD+poly+OHEM), f32 + AMP --------
     tx, _ = build_optimizer(
         dict(optimizer=dict(type='SGD', lr=0.01, momentum=0.9,
                             weight_decay=5e-4)),
-        [dict(type='PolyLR', power=0.9, begin=0, end=80000, by_epoch=False)])
+        [dict(type='PolyLR', power=0.9, begin=0, end=80000,
+              by_epoch=False)])
     train_model = MODELS.build(dict(model_cfg, test_cfg=dict(mode='whole')))
-    imgs = jnp.asarray(rng.integers(0, 255, (8, 512, 512, 3), np.uint8),
-                       jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 2, (8, 512, 512), np.int32))
-    state = create_train_state(train_model, tx,
-                               dict(inputs=imgs, gt_seg_map=labels))
-    tstep = make_train_step(train_model, tx, preprocessor=pre)
-    state, _ = tstep(state, imgs, labels)  # compile
-    dts = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        state, logs = tstep(state, imgs, labels)
-        jax.block_until_ready(logs['loss'])
-        dts.append(time.perf_counter() - t0)
-    extras['train_step_512_bs8_ms'] = dict(
-        p50=round(float(np.percentile(np.array(dts) * 1e3, 50)), 3),
-        mean=round(float(np.mean(dts) * 1e3), 3))
+    tr_pre = SegDataPreProcessor(mean=[123.675, 116.28, 103.53],
+                                 std=[58.395, 57.12, 57.375],
+                                 bgr_to_rgb=True)
 
-    # 5b) same step under bf16 AMP (the reference's --amp analogue)
-    state_amp = create_train_state(train_model, tx,
+    def train_ms(bs, amp=False, n=20):
+        imgs = jnp.asarray(rng.integers(0, 255, (bs, 512, 512, 3),
+                                        np.uint8), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 2, (bs, 512, 512), np.int32))
+        state = create_train_state(train_model, tx,
                                    dict(inputs=imgs, gt_seg_map=labels))
-    tstep_amp = make_train_step(train_model, tx, preprocessor=pre, amp=True)
-    state_amp, _ = tstep_amp(state_amp, imgs, labels)  # compile
-    dts = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        state_amp, logs = tstep_amp(state_amp, imgs, labels)
-        jax.block_until_ready(logs['loss'])
-        dts.append(time.perf_counter() - t0)
-    extras['train_step_512_bs8_amp_ms'] = dict(
-        p50=round(float(np.percentile(np.array(dts) * 1e3, 50)), 3),
-        mean=round(float(np.mean(dts) * 1e3), 3))
+        step = make_train_step(train_model, tx, preprocessor=tr_pre,
+                               amp=amp)
+        r = chained_steps(step, state, (imgs, labels), n=n, reps=3)
+        return round(r['per_step_s'] * 1e3, 2)
 
-    # 5c) per-chip train throughput at a practical batch (the step is
-    # launch-overhead-bound at bs=8; bs=32 amortizes it ~3x per image)
-    imgs32 = jnp.asarray(rng.integers(0, 255, (32, 512, 512, 3), np.uint8),
-                         jnp.float32)
-    labels32 = jnp.asarray(rng.integers(0, 2, (32, 512, 512), np.int32))
-    state32 = create_train_state(train_model, tx,
-                                 dict(inputs=imgs32, gt_seg_map=labels32))
-    state32, _ = tstep(state32, imgs32, labels32)  # compile
-    dts = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        state32, logs = tstep(state32, imgs32, labels32)
-        jax.block_until_ready(logs['loss'])
-        dts.append(time.perf_counter() - t0)
-    p50_32 = float(np.percentile(np.array(dts) * 1e3, 50))
-    extras['train_step_512_bs32_ms'] = dict(
-        p50=round(p50_32, 3), mean=round(float(np.mean(dts) * 1e3), 3),
-        img_per_s=round(32 / (p50_32 / 1e3), 1))
+    ms8 = train_ms(8)
+    extras['train_step_512_bs8_ms'] = ms8
+    extras['train_step_512_bs8_amp_ms'] = train_ms(8, amp=True)
+    ms32 = train_ms(32, n=10)
+    extras['train_step_512_bs32_ms'] = ms32
+    extras['train_img_per_s_bs32'] = round(32 / (ms32 / 1e3), 1)
+    extras['iters_80k_eta_h_bs8'] = round(80000 * ms8 / 1e3 / 3600, 2)
 
-    # 6) auxiliary rigs in their own processes (the axon executable-
-    # degradation artifact makes in-process A/Bs unreliable; see the
-    # verify skill). Short settings so the driver bench stays bounded;
-    # the standalone tools take the full measurements.
-    import os.path as osp
-    import subprocess
-    import sys
-    here = osp.dirname(osp.abspath(__file__))
-
-    def _sub(name, cmd, timeout):
-        try:
-            out = subprocess.run([sys.executable] + cmd, cwd=here,
-                                 capture_output=True, text=True,
-                                 timeout=timeout)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith('{')]
-            if line:
-                extras[name] = json.loads(line[-1])
-            else:
-                extras[name] = dict(error=(out.stdout + out.stderr)[-300:])
-        except Exception as e:
-            extras[name] = dict(error=repr(e)[:300])
-
-    # end-to-end train throughput: on-disk PNGs -> fused aug -> prefetch
-    _sub('train_e2e', ['tools/speed/train_e2e.py', '--iters', '150',
-                       '--warm', '30', '--n-images', '256'], 1200)
-    # served path: dynamic-batching HTTP server under 16 concurrent clients
-    _sub('serving', ['tools/deployment/bench_serve.py', '--clients', '16',
-                     '--seconds', '10'], 900)
-    # bf16 AMP at a scale where it should win (SegNeXt MSCAN-L 512^2);
-    # single A/B round here (full best-of-3: tools/speed/amp_at_scale.py)
-    _sub('amp_segnext_l', ['tools/speed/amp_at_scale.py', '--amp',
-                           '--reps', '20'], 1200)
-    _sub('f32_segnext_l', ['tools/speed/amp_at_scale.py',
-                           '--reps', '20'], 1200)
-
-    def _r(d):
-        return {k: (round(v, 3) if isinstance(v, (int, float)) else v)
-                for k, v in d.items()}
-    extras = {k: (_r(v) if isinstance(v, dict) else v)
-              for k, v in extras.items()}
-
+    extras['bench_wall_s'] = round(time.time() - t_start, 1)
     print(json.dumps({
-        'metric': 'LED-Net whole-inference FPS (1280x720, bs=1, 1 chip, bf16)',
-        'value': round(r720['best'], 2),
+        'metric': 'LED-Net whole-inference FPS (1280x720, bs=1, 1 chip, '
+                  'bf16, chained honest timing)',
+        'value': r720['img_per_s'],
         'unit': 'img/s',
-        'vs_baseline': round(r720['best'] / BASELINE_FPS, 3),
+        'vs_baseline': round(r720['img_per_s'] / BASELINE_FPS, 3),
         'extras': extras,
     }))
 

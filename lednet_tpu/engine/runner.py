@@ -306,6 +306,9 @@ class Runner:
                 _, pred = merge_tta_probs(view_logits, out_channels, threshold)
                 metric.process(pred[None], jnp.asarray(batch['gt_seg_map']),
                                num_classes)
+                if vis_draw and vis_count < vis_max:
+                    draw_vis(np.asarray(batch['tta_views'][0]['inputs']),
+                             np.asarray(pred))
                 continue
             if spatial_shard:
                 # per-image: the whole mesh is busy on each single image

@@ -98,7 +98,7 @@ def basic_pair_packed(x_packed: jnp.ndarray, w_banded: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((H + 2, Wp + 2, C), x_packed.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=80 * 1024 * 1024),
     )(x_packed, w_banded, biases)
 
 

@@ -111,7 +111,7 @@ def normalize_s2d(x: jnp.ndarray, mean=None, std=None) -> jnp.ndarray:
                                        jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((Wc, R * R * C, Hc), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=80 * 1024 * 1024),
     )(x.reshape(B, H, W * C), mean_t, std_t, q)
     return out.reshape(B, Hc, Wc, R * R * C)
 

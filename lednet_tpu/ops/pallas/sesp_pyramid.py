@@ -121,7 +121,7 @@ def sesp_pyramid(reduced: jnp.ndarray, dw1: jnp.ndarray, dw2, *,
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
             # small for the f32 whole-plane working set at 1/8-scale maps
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=80 * 1024 * 1024),
     )(reduced, rows1, rows2)
 
 
@@ -251,7 +251,7 @@ def sesp_block(x: jnp.ndarray, wred, bred, a1, dw1, dw2, s2, b2, a2,
         scratch_shapes=[
             pltpu.VMEM((H + 2 * M, W + 2 * M, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=80 * 1024 * 1024),
     )(x, wred, vec(bred), vec(a1), rows1, rows2, vec(s2), vec(b2), vec(a2),
       wexp, vec(bexp), vec(a3))
 

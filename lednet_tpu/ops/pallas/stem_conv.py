@@ -80,7 +80,7 @@ def stem_convs_packed(xp: jnp.ndarray, w1, b1, w2, b2):
         scratch_shapes=[pltpu.VMEM((H + 1, W + 1, K1), xp.dtype),
                         pltpu.VMEM((H + 1, W + 1, C1), xp.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=80 * 1024 * 1024),
     )(xp, w1, b1, w2, b2)
 
 
