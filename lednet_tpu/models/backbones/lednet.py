@@ -68,6 +68,10 @@ class LEDNet(nn.Module):
     # packed they are ~8x faster.  'conv' keeps the plain lowering.
     stem_impl: str = 's2d'
     init_cfg: Optional[Dict] = None
+    # consumes the preprocessor's Packed4x4 pack_s2d output directly
+    # (unpacks internally when the use_s2d gates fail); EncoderDecoder
+    # .extract_feat unpacks for backbones without this marker
+    accepts_packed_input = True
 
     def _stem_s2d(self, x):
         """Eval-only fused stem front: identical math to
@@ -169,7 +173,8 @@ class LEDNet(nn.Module):
         from lednet_tpu.ops.pallas.conv_block import basic_pair, pair_fits
         use_pair = (use_s2d and self.stem_blocks == 2
                     and _jax.default_backend() == 'tpu'
-                    and pair_fits(x2.shape[-3], x2.shape[-2], c))
+                    and pair_fits(x2.shape[-3], x2.shape[-2], c,
+                                  itemsize=x2.dtype.itemsize))
         if use_pair:
             # Fused eval kernel for the two 1/4-scale BasicBlocks + trailing
             # ReLU (XLA runs these 32-channel convs at 25% lane utilization:

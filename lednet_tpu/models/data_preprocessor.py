@@ -34,16 +34,23 @@ class SegDataPreProcessor:
                  out_dtype=None,
                  pack_s2d: bool = False,
                  type: Optional[str] = None):
-        # out_dtype (e.g. jnp.bfloat16): emit images in this dtype so XLA
-        # fuses the cast into the normalize pass — a separate
-        # convert_element_type of a 720p image costs ~360 us of layout
-        # copies on v5e (docs/latency.md)
+        # out_dtype (e.g. jnp.bfloat16 or the string 'bfloat16' from a
+        # config): emit EVAL images in this dtype so XLA fuses the cast
+        # into the normalize pass — a separate convert_element_type of a
+        # 720p image costs ~360 us of layout copies on v5e
+        # (docs/latency.md).  Training batches stay float32 (reference
+        # numerics; AMP casting is the train step's job).
+        if isinstance(out_dtype, str):
+            out_dtype = jnp.dtype(out_dtype)
         self.out_dtype = out_dtype
         # pack_s2d: eval-only fused normalize+cast+4x4-space-to-depth
         # Pallas kernel emitting a Packed4x4 (BGR channel order preserved;
-        # the consumer folds the flip into its first conv weights).  Used
-        # by backbones with an s2d stem (LEDNet); whole-mode inference
-        # only.  The unfused XLA chain costs ~1.5 ms at 720p.
+        # the consumer folds the flip into its first conv weights).  The
+        # packed value is only COMPUTED on by backbones that declare
+        # ``accepts_packed_input`` (LEDNet's s2d stem); every other
+        # consumer (EncoderDecoder.extract_feat for other backbones,
+        # predict_slide's crop grid) unpacks it first — exact inverse, so
+        # the knob is safe in any config and a no-op off the fast path.
         self.pack_s2d = pack_s2d
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.std = None if std is None else np.asarray(std, np.float32)
@@ -96,7 +103,7 @@ class SegDataPreProcessor:
             x = x[..., ::-1]
         if self.mean is not None:
             x = (x - jnp.asarray(self.mean)) / jnp.asarray(self.std)
-        if self.out_dtype is not None:
+        if self.out_dtype is not None and not training:
             x = x.astype(self.out_dtype)
         h, w = x.shape[-3], x.shape[-2]
         th, tw = self._target_size(h, w, training)

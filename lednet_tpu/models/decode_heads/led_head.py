@@ -104,7 +104,18 @@ class LEDHead(nn.Module):
         x_c = ClsSeg(self.channels, out_ch, self.dropout_ratio,
                      name='cls')(x_c, train=train)
         from lednet_tpu.ops.s2d import Packed2x2
-        if isinstance(x1, Packed2x2) and not self.is_initializing():
+        # the packed path hardcodes BN(eps=1e-5) running-stat folding and
+        # ReLU — mirror the backbone's use_s2d gate so a head configured
+        # with GN/LN or another activation falls back to the plain
+        # _BaseHead on x1.unpack() instead of silently computing the
+        # wrong function (ADVICE r4)
+        _ncfg = self.norm_cfg or dict(type='BN')
+        _acfg = self.act_cfg or dict(type='ReLU')
+        _packed_ok = (_ncfg.get('type', 'BN') in ('BN', 'SyncBN', 'BN2d')
+                      and _ncfg.get('eps', 1e-5) == 1e-5
+                      and _acfg.get('type') == 'ReLU')
+        if isinstance(x1, Packed2x2) and _packed_ok \
+                and not self.is_initializing():
             # x1 arrives 2x2 space-to-depth packed from LEDNet's s2d stem
             # (eval only).  head_x1 (BN -> ReLU -> 3x3 conv -> BN -> ReLU)
             # is computed on the packed layout: channelwise BN/ReLU tile 4x,

@@ -56,6 +56,13 @@ class EncoderDecoder(nn.Module):
 
     # ---- feature extraction ---------------------------------------------
     def extract_feat(self, inputs, train: bool = False):
+        from lednet_tpu.ops.s2d import Packed4x4
+        if isinstance(inputs, Packed4x4) and not getattr(
+                self._backbone, 'accepts_packed_input', False):
+            # the preprocessor's pack_s2d fast path is only understood by
+            # backbones with an s2d stem (LEDNet); everyone else gets the
+            # plain NHWC image back (exact inverse — ADVICE r4)
+            inputs = inputs.unpack()
         feats = self._backbone(inputs, train=train)
         if self._neck is not None:
             feats = self._neck(feats, train=train)
@@ -93,6 +100,11 @@ class EncoderDecoder(nn.Module):
 
     def predict_slide(self, inputs) -> jnp.ndarray:
         """Slide inference with a batched crop grid (one forward pass)."""
+        from lednet_tpu.ops.s2d import Packed4x4
+        if isinstance(inputs, Packed4x4):
+            # packed whole-frame input can't be cropped in packed form
+            # (crop origins aren't 4-aligned in general) — unpack first
+            inputs = inputs.unpack()
         test_cfg = self.test_cfg or {}
         crop_h, crop_w = test_cfg['crop_size']
         stride_h, stride_w = test_cfg['stride']

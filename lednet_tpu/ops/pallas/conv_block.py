@@ -69,9 +69,10 @@ def _pair_kernel(x_ref, w_ref, b_ref, o_ref, scratch, *, H, Wp, C):
     o_ref[0] = jnp.maximum(conv(h, 3) + b1, 0.0).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=('interpret',))
 def basic_pair_packed(x_packed: jnp.ndarray, w_banded: jnp.ndarray,
-                      biases: jnp.ndarray) -> jnp.ndarray:
+                      biases: jnp.ndarray, *,
+                      interpret: bool = False) -> jnp.ndarray:
     """Run the fused BasicBlock pair on a width-packed map.
 
     x_packed: (B, H, Wp, 128) — ``x.reshape(B, H, W//4, 4*C)`` of the
@@ -99,15 +100,24 @@ def basic_pair_packed(x_packed: jnp.ndarray, w_banded: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((H + 2, Wp + 2, C), x_packed.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
     )(x_packed, w_banded, biases)
 
 
-def pair_fits(H: int, W: int, C: int = 32, budget_mb: float = 80.0) -> bool:
-    """VMEM gate: f32 working set (scratch + x + two live intermediates)."""
+def pair_fits(H: int, W: int, C: int = 32, budget_mb: float = 80.0,
+              itemsize: int = 2) -> bool:
+    """VMEM gate modeling what the kernel actually allocates (ADVICE r4):
+    scratch/in/out blocks and the banded weights in the I/O dtype
+    (``itemsize`` — 2 for the bf16 inference path), plus the live f32
+    values (``h``, ``b1`` and the conv accumulator)."""
     if W % 4 or (W // 4) % 2 or C != 32:
         return False
-    bytes_ = (H + 2) * (W // 4 + 2) * 128 * 4 + 3 * H * (W // 4) * 128 * 4
-    return bytes_ <= budget_mb * 1024 * 1024
+    Wp, L = W // 4, 4 * C
+    io_bytes = ((H + 2) * (Wp + 2) * L          # halo scratch
+                + 2 * H * Wp * L                # in + out grid blocks
+                + 4 * 9 * L * L) * itemsize     # four banded kernels
+    f32_bytes = (3 * H * Wp * L + 4 * L) * 4    # h, b1, acc + biases
+    return io_bytes + f32_bytes <= budget_mb * 1024 * 1024
 
 
 def basic_pair(x: jnp.ndarray, w_folded, biases) -> jnp.ndarray:

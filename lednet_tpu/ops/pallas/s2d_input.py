@@ -76,10 +76,12 @@ def _kernel(x_ref, m_ref, s_ref, q_ref, o_ref, ot_ref, *, H, W, C,
             preferred_element_type=f32).astype(bf)          # (Hc, 128)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def normalize_s2d(x: jnp.ndarray, mean=None, std=None) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def normalize_s2d(x: jnp.ndarray, mean=None, std=None, *,
+                  interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, C) f32/bf16 -> (B, H/4, W/4, 16*C) bf16:
-    optionally ((x - mean)/std), then 4x4 space-to-depth, one kernel."""
+    optionally ((x - mean)/std), then 4x4 space-to-depth, one kernel.
+    ``interpret=True`` runs the Pallas interpreter (CPU CI parity tests)."""
     B, H, W, C = x.shape
     Hc, Wc = H // R, W // R
     normalize = mean is not None
@@ -112,6 +114,7 @@ def normalize_s2d(x: jnp.ndarray, mean=None, std=None) -> jnp.ndarray:
         scratch_shapes=[pltpu.VMEM((Wc, R * R * C, Hc), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
     )(x.reshape(B, H, W * C), mean_t, std_t, q)
     return out.reshape(B, Hc, Wc, R * R * C)
 

@@ -74,10 +74,12 @@ def _pyramid_kernel(r_ref, w1_ref, w2_ref, o_ref, scratch,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('rates', 'stride', 'acc_f32'))
+@functools.partial(jax.jit, static_argnames=('rates', 'stride', 'acc_f32',
+                                             'interpret'))
 def sesp_pyramid(reduced: jnp.ndarray, dw1: jnp.ndarray, dw2, *,
                  rates: Tuple[int, ...], stride: int = 1,
-                 acc_f32: bool = True) -> jnp.ndarray:
+                 acc_f32: bool = True,
+                 interpret: bool = False) -> jnp.ndarray:
     """Fused SESP branch pyramid.
 
     reduced: (B, H, W, n) shared reduced input.
@@ -122,6 +124,7 @@ def sesp_pyramid(reduced: jnp.ndarray, dw1: jnp.ndarray, dw2, *,
             # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
             # small for the f32 whole-plane working set at 1/8-scale maps
             vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
     )(reduced, rows1, rows2)
 
 
@@ -199,10 +202,12 @@ def _block_kernel(x_ref, wred_ref, bred_ref, a1_ref, w1_ref, w2_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('rates', 'stride', 'tail', 'exact'))
+                   static_argnames=('rates', 'stride', 'tail', 'exact',
+                                    'interpret'))
 def sesp_block(x: jnp.ndarray, wred, bred, a1, dw1, dw2, s2, b2, a2,
                wexp, bexp, a3, *, rates: Tuple[int, ...], stride: int = 1,
-               tail: str = 'residual', exact: bool = False) -> jnp.ndarray:
+               tail: str = 'residual', exact: bool = False,
+               interpret: bool = False) -> jnp.ndarray:
     """One fused kernel for a whole eval-mode SESP block.
 
     Covers: REDUCE (dense-expanded grouped 1x1, BN folded, PReLU) ->
@@ -252,6 +257,7 @@ def sesp_block(x: jnp.ndarray, wred, bred, a1, dw1, dw2, s2, b2, a2,
             pltpu.VMEM((H + 2 * M, W + 2 * M, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
     )(x, wred, vec(bred), vec(a1), rows1, rows2, vec(s2), vec(b2), vec(a2),
       wexp, vec(bexp), vec(a3))
 

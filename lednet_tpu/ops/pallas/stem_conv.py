@@ -53,10 +53,12 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, h_ref, x2_ref,
                             + b2_ref[0].astype(f32), 0.0).astype(ct)
 
 
-@jax.jit
-def stem_convs_packed(xp: jnp.ndarray, w1, b1, w2, b2):
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def stem_convs_packed(xp: jnp.ndarray, w1, b1, w2, b2, *,
+                      interpret: bool = False):
     """xp: (B, Hc, Wc, K1) packed input; w1: (2, 2, K1, C1); w2:
-    (2, 2, C1, C2); biases (1, C1)/(1, C2) f32.  Returns (h, x2)."""
+    (2, 2, C1, C2); biases (1, C1)/(1, C2) f32.  Returns (h, x2).
+    ``interpret=True`` runs the Pallas interpreter (CPU CI parity tests)."""
     B, H, W, K1 = xp.shape
     C1, C2 = w1.shape[-1], w2.shape[-1]
     kern = functools.partial(_kernel, H=H, W=W)
@@ -81,6 +83,7 @@ def stem_convs_packed(xp: jnp.ndarray, w1, b1, w2, b2):
                         pltpu.VMEM((H + 1, W + 1, C1), xp.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
     )(xp, w1, b1, w2, b2)
 
 

@@ -32,13 +32,34 @@ import numpy as np
 
 
 def _chain(fn: Callable, k: int) -> Callable:
-    """K data-chained evaluations of ``fn(*args, eps)`` -> scalar sum."""
+    """K data-chained evaluations of ``fn(*args, eps)`` -> scalar sum
+    (statically unrolled; kept for cost-analysis consumers that need a
+    plain single-copy program — measurement uses :func:`_chain_loop`)."""
 
     def chained(*args):
         s = jnp.float32(0)
         for _ in range(k):
             s = s + fn(*args, s * jnp.float32(1e-20)).astype(jnp.float32)
         return s
+
+    return jax.jit(chained)
+
+
+def _chain_loop(fn: Callable) -> Callable:
+    """One jitted program computing K data-chained evaluations of
+    ``fn(*args, eps)`` with K a RUNTIME argument (``lax.fori_loop``).
+
+    vs the old per-k unrolled chains: one compile instead of one per k
+    (each ~200 s through the tunnel on model-sized programs), and the
+    serialized executable stays body-sized (the k=8 unrolled 720p chain
+    serialized to 182 MB; the loop form is ~23 MB).  The loop carry is the
+    same eps-feedback that defeats hoisting/DCE — XLA cannot batch or
+    collapse iterations across a sequential dependence."""
+
+    def chained(k, *args):
+        def body(_, s):
+            return s + fn(*args, s * jnp.float32(1e-20)).astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     return jax.jit(chained)
 
@@ -53,14 +74,14 @@ def chain_slope(fn: Callable, args: Sequence, k: Tuple[int, int] = (1, 5),
     Returns {'per_op_s', 'intercept_s', 'walls': {k: best_wall_s}}.
     """
     k0, k1 = k
+    f = _chain_loop(fn)
+    float(jax.device_get(f(k0, *args)))  # compile + first hard sync
     walls = {}
     for kk in (k0, k1):
-        f = _chain(fn, kk)
-        float(jax.device_get(f(*args)))  # compile + first hard sync
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(jax.device_get(f(*args)))
+            float(jax.device_get(f(kk, *args)))
             best = min(best, time.perf_counter() - t0)
         walls[kk] = best
     per_op = (walls[k1] - walls[k0]) / (k1 - k0)

@@ -180,7 +180,8 @@ def _miou(preds, labels):
     return res['mIoU'], res
 
 
-def run_jax(seed, iters, data, log=print, eval_iters=()):
+def run_jax(seed, iters, data, log=print, eval_iters=(),
+            return_state=False):
     """``eval_iters``: additional mid-run eval points; the returned 'miou'
     is then the MEAN over all eval points (incl. the final one) — the mIoU
     trajectory of this chaotic recipe bounces by several points between
@@ -220,10 +221,13 @@ def run_jax(seed, iters, data, log=print, eval_iters=()):
                 f'({time.time() - t0:.0f}s)')
     final, res = eval_now(state)
     mious[iters] = final
-    return dict(framework='jax', seed=seed, iters=iters,
-                miou=round(float(np.mean(list(mious.values()))), 2),
-                miou_by_iter=mious, metrics=res,
-                train_s=round(time.time() - t0, 1))
+    out = dict(framework='jax', seed=seed, iters=iters,
+               miou=round(float(np.mean(list(mious.values()))), 2),
+               miou_by_iter=mious, metrics=res,
+               train_s=round(time.time() - t0, 1))
+    if return_state:
+        out['state'] = state    # for cross-framework weight evaluation
+    return out
 
 
 def run_torch(seed, iters, data, log=print, perturb=0.0, perturb_seed=1,

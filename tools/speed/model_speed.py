@@ -4,8 +4,10 @@
 Reference analogue: the ``tools/speed/*_speed.py`` rigs (thop FLOPs + cuda-
 sync FPS loops for DDRNet1/PIDNet/DSNet variants, ~4.7 kLoC of copies).
 One parameterized rig replaces them: pick a backbone/full-model config by
-name, measure params, XLA-cost FLOPs, and device-sync FPS at a given shape,
-in f32 and bf16.
+name, measure params, XLA-cost FLOPs, and honest chained FPS
+(``lednet_tpu/utils/timing.py`` — ``block_until_ready`` acks dispatch on
+this stack, so sync-bracket loops are invalid) at a given shape, in f32
+and bf16.
 """
 import os.path as osp
 import sys
@@ -85,13 +87,15 @@ def main():
     except Exception:
         flops = float('nan')
 
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+    from lednet_tpu.utils.timing import chain_slope
+
+    def chained_fwd(v, img, eps):
+        out = model.apply(v, img + eps.astype(img.dtype), train=False)
+        return sum(jnp.sum(o.astype(jnp.float32))
+                   for o in jax.tree.leaves(out))
+
+    r = chain_slope(chained_fwd, (variables, x), k=(1, 4), reps=6)
+    dt = r['per_op_s']
 
     print(json.dumps(dict(
         model=args.model, shape=[h, w], dtype=args.dtype,
