@@ -67,6 +67,12 @@ class LEDNet(nn.Module):
     # 1.75 ms of the 6.8 ms 720p forward as plain convs (docs/latency.md);
     # packed they are ~8x faster.  'conv' keeps the plain lowering.
     stem_impl: str = 's2d'
+    # 'packed' (default): eval-only exact reparam of the stride-2
+    # stem_block3 (see _stem_block3_packed); 'plain' keeps the module form
+    sb3_impl: str = 'packed'
+    # passthroughs for the SEAM/SESP eval fast paths (None/True = auto)
+    seam_fused: Optional[bool] = None
+    tiny_dense: bool = True
     init_cfg: Optional[Dict] = None
     # consumes the preprocessor's Packed4x4 pack_s2d output directly
     # (unpacks internally when the use_s2d gates fail); EncoderDecoder
@@ -138,6 +144,48 @@ class LEDNet(nn.Module):
         x1 = Packed2x2(h)                                          # c @ 1/2
         return x1, x2
 
+    def _stem_block3_packed(self, x):
+        """Eval-only exact reparameterization of the stride-2 BasicBlock
+        ``stem_block3`` (BN running stats folded; returns the pre-ReLU
+        residual sum, matching ``act_out=False``):
+
+        - conv1 (3x3/s2, c->2c) on the 2x2 space-to-depth input via
+          :func:`lednet_tpu.ops.s2d.pack_s2_conv_weights`,
+        - conv2 (3x3, 2c) as a width-packed band kernel
+          (:func:`lednet_tpu.ops.s2d.pack_s1_conv_weights`),
+        - the 1x1/s2 downsample as a channel slice of the packed input
+          (position (0,0)) followed by a plain matmul."""
+        from lednet_tpu.ops.pallas.sesp_pyramid import bn_fold
+        from lednet_tpu.ops.s2d import (pack_s1_conv_weights, pack_s2_conv_weights,
+                                        pack_w, s1_conv_packed, s2_conv_packed,
+                                        space_to_depth, unpack_w)
+        P = lambda n: self.scope.get_variable('params', 'stem_block3')[n]
+        S = lambda n: self.scope.get_variable('batch_stats', 'stem_block3')[n]
+        dt = x.dtype
+
+        def folded(name):
+            p, s = P(name), S(name)
+            sc, bi = bn_fold(p['norm']['bn']['scale'], p['norm']['bn']['bias'],
+                             s['norm']['bn']['mean'], s['norm']['bn']['var'])
+            return p['conv']['kernel'] * sc[None, None, None], bi
+
+        w1, b1 = folded('conv1')
+        w2, b2 = folded('conv2')
+        sc_d, b_d = bn_fold(P('downsample_norm')['bn']['scale'],
+                            P('downsample_norm')['bn']['bias'],
+                            S('downsample_norm')['bn']['mean'],
+                            S('downsample_norm')['bn']['var'])
+        wd = P('downsample_conv')['kernel'][0, 0] * sc_d[None]
+
+        xp = space_to_depth(x, 2)                       # (B, H/2, W/2, 4c)
+        h = s2_conv_packed(xp, pack_s2_conv_weights(w1.astype(dt), 1))
+        h = nn.relu(h + b1.astype(dt))
+        hp = pack_w(h, 2)
+        h2 = s1_conv_packed(hp, pack_s1_conv_weights(w2.astype(dt), 2))
+        h2 = unpack_w(h2, 2) + b2.astype(dt)
+        ds = xp[..., :x.shape[-1]] @ wd.astype(dt) + b_d.astype(dt)
+        return h2 + ds
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from lednet_tpu.ops.s2d import Packed4x4
@@ -200,25 +248,41 @@ class LEDNet(nn.Module):
                                act_out=(i < self.stem_blocks - 1),
                                name=f'stem_block{i + 1}')(h, train=train)
             h = nn.relu(h)
-        h = BasicBlock(c, 2 * c, stride=2, downsample=True, norm_cfg=norm_cfg,
-                       act_out=(self.stem_blocks_c2 > 0),
-                       name='stem_block3')(h, train=train)
-        for i in range(self.stem_blocks_c2):
-            h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg,
-                           act_out=(i < self.stem_blocks_c2 - 1),
-                           name=f'stem_block{4 + i}')(h, train=train)
+        use_sb3 = (use_s2d and self.sb3_impl == 'packed'
+                   and self.stem_blocks_c2 == 0
+                   and h.shape[-3] % 2 == 0 and h.shape[-2] % 4 == 0)
+        if use_sb3:
+            # stride-2 BasicBlock as packed MXU convs (eval reparam): the
+            # 32-channel stride-2 conv1 runs at 25% lane utilization as a
+            # plain conv (~205 us of the 720p forward with conv2 and the
+            # 1x1 downsample, docs/latency.md); space-to-depth packing
+            # gives conv1 a 128-lane contraction, conv2 a width-packed
+            # 128x128 band kernel, and the downsample a channel slice.
+            h = self._stem_block3_packed(h)
+        else:
+            h = BasicBlock(c, 2 * c, stride=2, downsample=True,
+                           norm_cfg=norm_cfg,
+                           act_out=(self.stem_blocks_c2 > 0),
+                           name='stem_block3')(h, train=train)
+            for i in range(self.stem_blocks_c2):
+                h = BasicBlock(2 * c, 2 * c, norm_cfg=norm_cfg,
+                               act_out=(i < self.stem_blocks_c2 - 1),
+                               name=f'stem_block{4 + i}')(h, train=train)
         stem = nn.relu(h)                                           # 2c @ 1/8
 
         # ---- SEAM edge-attention map from the stem feature ---------------
-        edge = SEAM(2 * c, name='seam')(stem, train=train)
+        edge = SEAM(2 * c, fused_eval=self.seam_fused,
+                    name='seam')(stem, train=train)
 
         # ---- stage 3: first dual-branch stage + Muti_AFF fusion ----------
         x_c = CESPB(2 * c, 4 * c, stride=2, num_blocks=2, spatial=False,
+                    tiny_dense=self.tiny_dense,
                     name='context1')(stem, train=train)             # 4c @ 1/16
         x_c = GETBBlock(4 * c, self.num_heads, window_size=self.window_size,
                         mlp_ratio=self.mlp_ratio,
                         name='gltb1')(x_c, train=train)
         x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
+                    tiny_dense=self.tiny_dense,
                     name='spatial1')(stem, train=train)             # 2c @ 1/8
         comp = ConvModule(4 * c, 2 * c, 1, norm_cfg=norm_cfg, act_cfg=None,
                           name='compression_aff')(nn.relu(x_c), train=train)
@@ -231,11 +295,13 @@ class LEDNet(nn.Module):
 
         # ---- stage 4: second dual-branch stage + SEAM injection ----------
         x_c = CESPB(4 * c, 8 * c, stride=2, num_blocks=2, spatial=False,
+                    tiny_dense=self.tiny_dense,
                     name='context2')(nn.relu(x_c), train=train)     # 8c @ 1/32
         x_c = GETBBlock(8 * c, self.num_heads, window_size=self.window_size,
                         mlp_ratio=self.mlp_ratio,
                         name='gltb2')(x_c, train=train)
         x_s = CESPB(2 * c, 2 * c, num_blocks=2, spatial=True,
+                    tiny_dense=self.tiny_dense,
                     name='spatial2')(nn.relu(x_s), train=train)
         comp = ConvModule(8 * c, 2 * c, 1, norm_cfg=norm_cfg, act_cfg=None,
                           name='compression_2')(nn.relu(x_c), train=train)
@@ -252,14 +318,17 @@ class LEDNet(nn.Module):
 
         # ---- stage 5: final stage + context pooling ----------------------
         x_s = CESPB(2 * c, 4 * c, num_blocks=1, spatial=True,
+                    tiny_dense=self.tiny_dense,
                     name='spatial3')(nn.relu(x_s), train=train)     # 4c @ 1/8
         x_c = CESPB(8 * c, 16 * c, stride=2, num_blocks=1, spatial=False,
+                    tiny_dense=self.tiny_dense,
                     name='context3')(nn.relu(x_c), train=train)     # 16c @ 1/64
         if self.context_pool == 'dappm':
             x_c = DAPPM(16 * c, self.ppm_channels, 4 * c, num_scales=5,
                         name='spp')(x_c, train=train)
         else:
             x_c = SESP(16 * c, self.ppm_channels, spatial=False,
+                       tiny_dense=self.tiny_dense,
                        name='spp')(x_c, train=train)
             if self.ppm_channels != 4 * c:
                 x_c = ConvModule(self.ppm_channels, 4 * c, 1, norm_cfg=norm_cfg,

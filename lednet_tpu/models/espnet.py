@@ -151,6 +151,9 @@ class SESP(nn.Module):
     # TPU grouped-conv lowering at these channel counts (see _dw_shift);
     # 'conv': the feature_group_count formulation (same parameters/math).
     dw_impl: str = 'pallas'
+    # eval-only: blocks too wide for the Pallas kernel run as one dense
+    # grouped conv when the map is tiny (launch-count bound); see __call__
+    tiny_dense: bool = True
 
     def _fused_dw(self, x, kernels, rates, stride, extra_dil=0):
         """One depthwise conv over k-tiled channels; returns list of branch
@@ -240,7 +243,18 @@ class SESP(nn.Module):
         reduced = _CBR(self.in_channels, n, 1, groups=self.k,
                        name='proj_1x1')(x, train=train)
 
-        if self.fuse_branches:
+        # Launch-count fallback: blocks the Pallas kernel rejects (stride-2
+        # with k*n > 128 lanes) otherwise run 9*k*2 shift ops — at the tiny
+        # 1/32-scale maps where they live, per-op latency dominates
+        # (context3/down: 161 ops, ~95 us of the 3.2 ms 720p forward,
+        # docs/latency.md).  One dense grouped conv (numerically identical,
+        # see class docstring) wins there; it stays off for larger maps
+        # where its k-times channel tile costs real HBM.
+        fuse = self.fuse_branches or (
+            self.tiny_dense and not train and not self.is_initializing()
+            and jax.default_backend() == 'tpu'
+            and x.shape[-3] * x.shape[-2] <= 2048)
+        if fuse:
             kernels = [self.param(f'spp_dw{i}', kaiming_init, (3, 3, 1, n),
                                   jnp.float32) for i in range(self.k)]
             outs = self._fused_dw(reduced, kernels, rates, self.stride)
@@ -320,6 +334,7 @@ class ESPDownSampler(nn.Module):
     r_lim: int = 9
     spatial: bool = False
     dw_impl: str = 'pallas'
+    tiny_dense: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -329,6 +344,7 @@ class ESPDownSampler(nn.Module):
         esp_out = SESP(self.in_channels, new_channels, stride=2, k=self.k,
                        r_lim=self.r_lim, down_method='avg',
                        spatial=self.spatial, dw_impl=self.dw_impl,
+                       tiny_dense=self.tiny_dense,
                        name='eesp')(x, train=train)
         out = jnp.concatenate([avg_out, esp_out], axis=-1)
         return PReLU(self.out_channels, name='act')(out)
@@ -348,19 +364,23 @@ class CESPB(nn.Module):
     k: int = 4
     spatial: bool = True
     dw_impl: str = 'pallas'
+    tiny_dense: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.stride == 2:
             x = ESPDownSampler(self.in_channels, self.out_channels, k=self.k,
                                spatial=self.spatial, dw_impl=self.dw_impl,
+                               tiny_dense=self.tiny_dense,
                                name='down')(x, train=train)
         else:
             x = SESP(self.in_channels, self.out_channels, k=self.k,
                      spatial=self.spatial, dw_impl=self.dw_impl,
+                     tiny_dense=self.tiny_dense,
                      name='block0')(x, train=train)
         for i in range(1, self.num_blocks):
             x = SESP(self.out_channels, self.out_channels, k=self.k,
                      spatial=self.spatial, dw_impl=self.dw_impl,
+                     tiny_dense=self.tiny_dense,
                      name=f'block{i}')(x, train=train)
         return x

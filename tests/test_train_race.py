@@ -31,10 +31,13 @@ def test_training_race_outcome_parity():
     separate framework divergence from chaos; and even late, single
     checkpoints bounce (torch seed-0: 70.85 @2000 vs 78.66 @2500).  Hence:
     run to 2000 iters and average the last five checkpoints (the rig's
-    late-checkpoint averaging), then gate at 8.0 — above the converged
-    full-race gaps (+2.5/+2.5/+1.0 over 3 seeds) and below the cross-seed
-    spread (12.2), catching systematic optimizer/BN/loss divergence
-    without chasing trajectory noise.
+    late-checkpoint averaging), then gate at 8.0 — calibrated by the
+    round-5 bias study (``tools/parity/race_bias.py``,
+    ``docs/race_bias.json``): over 7 seeds the paired jax-torch gap is
+    +0.18 ± 3.12 mIoU (t=0.15, sign flips across seeds) and the
+    single-framework chaos floor (torch vs torch + 1e-7 grad noise) is
+    2.2–7.6 mIoU, so 8.0 ≈ 2.6 paired σ catches systematic
+    optimizer/BN/loss divergence without chasing fp-chaos.
     """
     data = gen_dataset(SEED)
     quiet = lambda *a: None  # noqa: E731
