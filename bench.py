@@ -142,14 +142,19 @@ def main():
         return jnp.sum(out.astype(jnp.float32))
 
     # ---- 1) headline: whole 1280x720 bs=1 ---------------------------
-    # One compiled fori_loop program, measured at k=1 and k=8: ~25 ms of
-    # per-rep signal at the ~3.5 ms/op scale.
+    # One compiled fori_loop program (k is a runtime arg, so every k reuses
+    # the same executable).  k=(1,32) puts ~96 ms of chained device signal
+    # against the 40-60 ms tunnel-RTT jitter; the old k=(1,8) spread
+    # (~22 ms signal) produced slopes anywhere in 2.3-5.2 ms/op on
+    # back-to-back runs (measured 2026-08-22), while (1,32) min- and
+    # median-slopes agree within 1%.  Extra wall cost vs (1,8): ~1 s.
     frame = jnp.asarray(
         rng.integers(0, 255, (1, 720, 1280, 3), np.uint8), jnp.float32)
-    r720 = chain_slope(fwd, (params, batch_stats, frame), k=(1, 8), reps=7)
+    r720 = chain_slope(fwd, (params, batch_stats, frame), k=(1, 32), reps=7)
     per = r720['per_op_s']
-    extras['whole_720p_bs1'] = dict(ms=round(per * 1e3, 3),
-                                    img_per_s=round(1 / per, 1))
+    extras['whole_720p_bs1'] = dict(
+        ms=round(per * 1e3, 3), img_per_s=round(1 / per, 1),
+        ms_median_slope=round(r720['per_op_med_s'] * 1e3, 3))
     record['value'] = extras['whole_720p_bs1']['img_per_s']
     record['vs_baseline'] = round(record['value'] / BASELINE_FPS, 3)
     emit(record)

@@ -76,16 +76,21 @@ def chain_slope(fn: Callable, args: Sequence, k: Tuple[int, int] = (1, 5),
     k0, k1 = k
     f = _chain_loop(fn)
     float(jax.device_get(f(k0, *args)))  # compile + first hard sync
-    walls = {}
+    walls, walls_med = {}, {}
     for kk in (k0, k1):
-        best = np.inf
+        times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(jax.device_get(f(kk, *args)))
-            best = min(best, time.perf_counter() - t0)
-        walls[kk] = best
+            times.append(time.perf_counter() - t0)
+        walls[kk] = min(times)
+        walls_med[kk] = float(np.median(times))
     per_op = (walls[k1] - walls[k0]) / (k1 - k0)
-    return dict(per_op_s=per_op,
+    # Median-based slope as a jitter cross-check: with enough chained
+    # signal (k1-k0 >> RTT jitter / per_op) the two agree within ~1%;
+    # a large disagreement flags an unstable measurement.
+    per_op_med = (walls_med[k1] - walls_med[k0]) / (k1 - k0)
+    return dict(per_op_s=per_op, per_op_med_s=per_op_med,
                 intercept_s=walls[k0] - k0 * per_op, walls=walls)
 
 

@@ -76,13 +76,17 @@ def main():
                         img2, method='predict_slide')
         return jnp.sum(o.astype(jnp.float32))
 
-    def measure(shape, slide=False, k=(1, 2), reps=5):
+    # k=(1,8) puts >=100 ms of chained device signal against the 40-60 ms
+    # tunnel-RTT jitter (k=(1,2) gave slopes off by up to 2x run-to-run —
+    # same finding as bench.py's headline spread, 2026-08-22).
+    def measure(shape, slide=False, k=(1, 8), reps=7):
         frame = jnp.asarray(rng.integers(0, 255, shape, np.uint8),
                             jnp.float32)
         f = fwd_slide if slide else fwd
         r = chain_slope(f, (params, batch_stats, frame), k=k, reps=reps)
         return dict(ms=round(r['per_op_s'] * 1e3, 3),
-                    img_per_s=round(shape[0] / r['per_op_s'], 1))
+                    img_per_s=round(shape[0] / r['per_op_s'], 1),
+                    ms_median_slope=round(r['per_op_med_s'] * 1e3, 3))
 
     out['whole_1024_bs8'] = measure((8, 1024, 1024, 3))
     out['whole_720p_bs8'] = measure((8, 720, 1280, 3))
