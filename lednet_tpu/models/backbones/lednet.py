@@ -125,7 +125,7 @@ class LEDNet(nn.Module):
             H, W = 4 * xp.shape[-3], 4 * xp.shape[-2]
         else:
             H, W, Cin = x.shape[-3], x.shape[-2], x.shape[-1]
-            if on_tpu and s2d_input_fits(H, W, Cin):
+            if on_tpu and s2d_input_fits(H, W, Cin, x.shape[0]):
                 # fused Pallas cast+s2d: the XLA relayout chain costs
                 # ~1.1 ms at 720p vs 72 us for the kernel (bit-identical)
                 xp = normalize_s2d(x)
@@ -133,7 +133,8 @@ class LEDNet(nn.Module):
                 xp = space_to_depth(x, 4)
         b1t = jnp.tile(b1, 4)[None].astype(jnp.float32)
         if on_tpu and stem_convs_fit(H // 4, W // 4, xp.shape[-1],
-                                     wb1.shape[-1]):
+                                     wb1.shape[-1], wb2.shape[-1],
+                                     xp.shape[0]):
             # both packed stem convs + bias + ReLU in one VMEM pass
             h, x2 = stem_convs_packed(xp, wb1, b1t, wb2,
                                       b2[None].astype(jnp.float32))
@@ -222,7 +223,8 @@ class LEDNet(nn.Module):
         use_pair = (use_s2d and self.stem_blocks == 2
                     and _jax.default_backend() == 'tpu'
                     and pair_fits(x2.shape[-3], x2.shape[-2], c,
-                                  itemsize=x2.dtype.itemsize))
+                                  itemsize=x2.dtype.itemsize,
+                                  B=x2.shape[0]))
         if use_pair:
             # Fused eval kernel for the two 1/4-scale BasicBlocks + trailing
             # ReLU (XLA runs these 32-channel convs at 25% lane utilization:

@@ -93,7 +93,7 @@ class SegDataPreProcessor:
             h, w = x.shape[-3], x.shape[-2]
             th, tw = self._target_size(h, w, training)
             if (jax.default_backend() == 'tpu' and (th, tw) == (h, w)
-                    and s2d_input_fits(h, w, x.shape[-1])):
+                    and s2d_input_fits(h, w, x.shape[-1], x.shape[0])):
                 mean = self.mean[::-1] if self.channel_flip else self.mean
                 std = self.std[::-1] if self.channel_flip else self.std
                 packed = normalize_s2d(x, jnp.asarray(mean),

@@ -192,7 +192,8 @@ class SESP(nn.Module):
                      and not self.fuse_branches
                      and jax.default_backend() == 'tpu'
                      and pyramid_fits(x.shape[-3], x.shape[-2], n, self.k,
-                                      x.dtype.itemsize, stride=self.stride))
+                                      x.dtype.itemsize, stride=self.stride,
+                                      B=x.shape[0]))
         if use_fused:
             # Whole-block fused kernel (eval only). The submodules below are
             # not invoked; their parameters (created by the unfused path at

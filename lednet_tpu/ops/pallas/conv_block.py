@@ -105,16 +105,19 @@ def basic_pair_packed(x_packed: jnp.ndarray, w_banded: jnp.ndarray,
 
 
 def pair_fits(H: int, W: int, C: int = 32, budget_mb: float = 80.0,
-              itemsize: int = 2) -> bool:
+              itemsize: int = 2, B: int = 1) -> bool:
     """VMEM gate modeling what the kernel actually allocates (ADVICE r4):
     scratch/in/out blocks and the banded weights in the I/O dtype
     (``itemsize`` — 2 for the bf16 inference path), plus the live f32
-    values (``h``, ``b1`` and the conv accumulator)."""
+    values (``h``, ``b1`` and the conv accumulator).  A batch grid > 1
+    double-buffers the in/out grid blocks (same Mosaic behavior measured
+    for stem_convs_packed, 2026-08-22)."""
     if W % 4 or (W // 4) % 2 or C != 32:
         return False
     Wp, L = W // 4, 4 * C
+    buf = 1 if B == 1 else 2
     io_bytes = ((H + 2) * (Wp + 2) * L          # halo scratch
-                + 2 * H * Wp * L                # in + out grid blocks
+                + buf * 2 * H * Wp * L          # in + out grid blocks
                 + 4 * 9 * L * L) * itemsize     # four banded kernels
     f32_bytes = (3 * H * Wp * L + 4 * L) * 4    # h, b1, acc + biases
     return io_bytes + f32_bytes <= budget_mb * 1024 * 1024

@@ -119,11 +119,16 @@ def normalize_s2d(x: jnp.ndarray, mean=None, std=None, *,
     return out.reshape(B, Hc, Wc, R * R * C)
 
 
-def s2d_input_fits(H: int, W: int, C: int = 3,
+def s2d_input_fits(H: int, W: int, C: int = 3, B: int = 1,
                    budget_mb: float = 80.0) -> bool:
-    """The kernel needs 4-divisible H/W and a 128-divisible packed width."""
+    """The kernel needs 4-divisible H/W and a 128-divisible packed width.
+    A batch grid > 1 double-buffers the in/out windows (same Mosaic
+    behavior as stem_convs_fit; the scratch and the one-hot selectors are
+    grid-invariant)."""
     if H % R or W % R or (W // R * R * R * C) % CHUNK:
         return False
     Hc, Wc = H // R, W // R
-    bytes_ = H * W * C * (4 + 2) + 2 * Wc * R * R * C * Hc * 2
-    return bytes_ <= budget_mb * 1024 * 1024
+    buf = 1 if B == 1 else 2
+    win = (H * W * C * 4 + Hc * Wc * R * R * C * 2) * buf
+    fixed = Wc * R * R * C * Hc * 2 + R * H * Hc * 2
+    return win + fixed <= budget_mb * 1024 * 1024

@@ -283,11 +283,14 @@ def bn_fold(scale, bias, mean, var, eps: float = 1e-5):
 
 
 def pyramid_fits(H: int, W: int, n: int, k: int, dtype_bytes: int = 2,
-                 budget_mb: float = 40.0, stride: int = 1) -> bool:
+                 budget_mb: float = 40.0, stride: int = 1,
+                 B: int = 1) -> bool:
     """Whether the single-block kernel handles this instantiation.
 
     Two gates: (a) the whole-plane f32 working set (scratch + accumulator +
-    output) must fit comfortably in VMEM with headroom for Mosaic temps;
+    output, with the in/out grid windows double-buffered when the batch
+    grid > 1 — measured Mosaic behavior, 2026-08-22) must fit comfortably
+    in VMEM with headroom for Mosaic temps;
     (b) Mosaic (2026-08 libtpu) crashes on stride-2 strided scratch reads
     when k*n exceeds one 128-lane tile, so those fall back to the shift
     form (they are deep, tiny-map blocks — not hot).
@@ -295,5 +298,8 @@ def pyramid_fits(H: int, W: int, n: int, k: int, dtype_bytes: int = 2,
     C = k * n
     if stride != 1 and C > 128:
         return False
-    bytes_ = (H + 10) * (W + 10) * C * 4 * 2 + H * W * C * 4 * 2
+    buf = 1 if B == 1 else 2
+    bytes_ = ((H + 10) * (W + 10) * C * 4 * 2
+              + buf * (H * W * n * dtype_bytes + H * W * C * dtype_bytes)
+              + H * W * C * 4)
     return bytes_ <= budget_mb * 1024 * 1024

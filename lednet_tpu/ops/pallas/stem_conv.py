@@ -88,6 +88,19 @@ def stem_convs_packed(xp: jnp.ndarray, w1, b1, w2, b2, *,
 
 
 def stem_convs_fit(H: int, W: int, K1: int = 48, C1: int = 128,
+                   C2: int = 32, B: int = 1,
                    budget_mb: float = 80.0) -> bool:
-    per = (H + 1) * (W + 1) * (K1 + C1) * 2 + H * W * (K1 + 2 * C1) * 2
-    return per <= budget_mb * 1024 * 1024
+    """Model what Mosaic ACTUALLY allocates, not the logical sizes
+    (measured from the 1024^2 bs=8 VMEM OOM, 2026-08-22): every window's
+    channel dim pads to the 128-lane tile (the (.,.,.,32) x2 window
+    allocates at 128 lanes), scratch second-minor pads to the 8-sublane
+    tile, and a batch grid > 1 double-buffers every in/out window.  At
+    720p bs=1 this model gives ~74.6 MB — just under the 80 MB limit the
+    kernel empirically runs at; at 1024^2 bs=8 it gives ~135 MB, which is
+    the observed OOM."""
+    lane = lambda c: -(-c // 128) * 128
+    sub = lambda w: -(-w // 8) * 8
+    buf = 1 if B == 1 else 2
+    win = H * W * (lane(K1) + lane(C1) + lane(C2)) * 2 * buf
+    scr = (H + 1) * sub(W + 1) * (lane(K1) + lane(C1)) * 2
+    return win + scr <= budget_mb * 1024 * 1024
